@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship quality-filter pipeline; ``queries()`` /
+``oracle_sql()`` expose each implemented operator with a DuckDB oracle.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +11,52 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import ray
+
+
+def _documents_as_code_table(sf_dir: str) -> "ray.data.Dataset":
+    """Map the driver's documents table into the flagship input schema
+    (repo, path, commit, lang, content) per BASELINE.json input_hint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def to_code_shape(batch: pa.Table) -> pa.Table:
+        doc_id = pc.cast(batch["doc_id"], pa.string())
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pc.binary_join_element_wise(
+                    pa.array(["doc"] * len(batch)), doc_id, pa.array([".txt"] * len(batch)), ""
+                ),
+                "commit": doc_id,
+                "lang": batch["lang"],
+                "content": batch["text"],
+            }
+        )
+
+    return ds.map_batches(to_code_shape, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (smoke check)."""
+    from data_profiler_ray.pipelines.quality_filter import build_quality_filter
+
+    ds = _documents_as_code_table("/root/testdata/sf0.001")
+    labeled = build_quality_filter(ds, scorer_concurrency=2)
+    return labeled
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from data_profiler_ray import queries_catalog
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() entry (where expressible)."""
+    from data_profiler_ray import queries_catalog
+
+    return queries_catalog.oracle_sql()

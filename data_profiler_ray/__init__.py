@@ -1,0 +1,25 @@
+"""data_profiler_ray — a Ray-Data-native data quality / profiling engine.
+
+A from-scratch rebuild of the capabilities of the reference profiler
+(brentley/data-profiler, see /root/reference) re-expressed as streaming
+``ray.data.Dataset`` pipelines:
+
+- per-file heuristic quality metrics over source-code tables
+  (line-length distributions, alnum ratio, blank fraction, duplicate-line
+  rate) computed zero-copy over Arrow batches,
+- stateful scorer stages (language-ID, char-n-gram perplexity) as
+  ``map_batches`` actor pools,
+- a stateless regex PII/toxicity scrub preserving sha256(content) on
+  untouched rows,
+- exact column profiling (type inference, money/date validators, distinct
+  counting, top-k, candidate keys, duplicate detection) with the reference's
+  exact semantics but distributed execution,
+- dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard,
+  embedding-cosine) and brute-force / LSH similarity search,
+- per-partition lineage + checkpointed, resumable output.
+
+The reference defines the *semantics* (docstrings cite file:line into
+/root/reference); Ray Data defines the *execution*. No code is copied.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,95 @@
+"""Pipeline configuration: thresholds, drop reasons, PII patterns.
+
+Drop-reason codes follow the reference's error-code style
+(``/root/reference/api/services/errors.py:20-56`` — E_* catastrophic,
+W_* warnings) but are re-scoped: at 10^12-file scale a bad file is a
+*row-level* drop reason, never a job abort (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# Drop reasons (row-level). Order = evaluation priority: the first failing
+# rule wins, mirroring the reference's catastrophic-first error precedence.
+# ---------------------------------------------------------------------------
+E_UTF8_INVALID = "E_UTF8_INVALID"          # reference ingest.py:81-279 (catastrophic there)
+E_EMPTY = "E_EMPTY"                        # empty / whitespace-only content
+E_MINIFIED = "E_MINIFIED"                  # max line length above threshold
+E_LOW_ALNUM = "E_LOW_ALNUM"                # alphanumeric ratio below threshold
+E_BLANK_HEAVY = "E_BLANK_HEAVY"            # blank-line fraction above threshold
+E_DUP_LINES = "E_DUP_LINES"                # within-file duplicate-line rate
+E_DUP_CONTENT = "E_DUP_CONTENT"            # exact duplicate file (not the keeper)
+E_HIGH_PERPLEXITY = "E_HIGH_PERPLEXITY"    # n-gram LM perplexity above threshold
+E_TOXIC = "E_TOXIC"                        # toxicity lexicon hits
+W_LANG_MISMATCH = "W_LANG_MISMATCH"        # langid disagrees with label (warn, keep)
+W_PII_SCRUBBED = "W_PII_SCRUBBED"          # PII scrubbed (keep)
+
+DROP_REASONS = [
+    E_UTF8_INVALID,
+    E_EMPTY,
+    E_MINIFIED,
+    E_LOW_ALNUM,
+    E_BLANK_HEAVY,
+    E_DUP_LINES,
+    E_DUP_CONTENT,
+    E_HIGH_PERPLEXITY,
+    E_TOXIC,
+]
+
+
+@dataclass(frozen=True)
+class FilterThresholds:
+    """Keep/drop thresholds for the quality-filter rule engine.
+
+    Defaults are tuned to the synthetic corpus cohorts
+    (sources/synthetic.py) and mirror common web-scale code-filter
+    heuristics (very long lines => minified; low alnum => binary-ish;
+    blank-heavy / boilerplate => low value).
+    """
+
+    max_line_len: int = 10_000            # chars; above => E_MINIFIED
+    min_alnum_ratio: float = 0.25         # below => E_LOW_ALNUM
+    max_blank_line_frac: float = 0.70     # above => E_BLANK_HEAVY
+    max_dup_line_rate: float = 0.80       # above => E_DUP_LINES
+    max_perplexity: float = 100.0         # above => E_HIGH_PERPLEXITY
+                                          # (clean code scores ~8, gibberish ~1000+)
+    min_content_chars: int = 8            # below => E_EMPTY
+    max_toxicity_hits: int = 0            # above => E_TOXIC
+    langid_min_confidence: float = 0.60   # below => no mismatch warning
+    dup_lines_min_lines: int = 10         # dup-line rule needs >= this many lines
+
+
+@dataclass(frozen=True)
+class PIIConfig:
+    """Regex patterns for the PII/toxicity scrub stage.
+
+    The reference is PII-*aware* only in audit logging
+    (``audit.py:1-49`` — hashes instead of raw values); the scrub itself
+    is mandated by BASELINE.json north_star. Patterns are standard public
+    formats (SSN, email, NANP phone, AWS access key id, MRN).
+    """
+
+    # pattern name -> (regex, replacement token)
+    patterns: dict[str, tuple[str, str]] = field(default_factory=lambda: {
+        "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[REDACTED-SSN]"),
+        "email": (
+            r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}\b",
+            "[REDACTED-EMAIL]",
+        ),
+        "phone": (
+            r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+            "[REDACTED-PHONE]",
+        ),
+        "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "[REDACTED-AWSKEY]"),
+        "mrn": (r"\bMRN[:# ]?\d{6,10}\b", "[REDACTED-MRN]"),
+    })
+    # Toxicity lexicon is configurable; mild seed terms for the synthetic
+    # corpus. Hits are *counted* (drop decision), not scrubbed.
+    toxicity_lexicon: tuple[str, ...] = ("frobnic_slur1", "frobnic_slur2", "dang_hateword")
+
+
+DEFAULT_THRESHOLDS = FilterThresholds()
+DEFAULT_PII = PIIConfig()

@@ -1,0 +1,249 @@
+"""Vectorized per-file text heuristic metrics over Arrow string columns.
+
+Re-expresses the reference's byte/line-level validators as zero-copy Arrow
+batch kernels (no per-row Python in the hot path):
+
+- CRLF/LF/CR counting + mixed flag  — reference ``CRLFDetector``
+  (``/root/reference/api/services/ingest.py:282-430``), here a
+  ``pyarrow.compute.count_substring`` chain.
+- UTF-8 validation with first-error byte offset — reference
+  ``UTF8Validator`` (``ingest.py:81-279``); Arrow string columns are valid
+  UTF-8 by construction, so the real check applies to ``binary`` inputs.
+- Per-file line-length distribution, alphanumeric ratio, blank-line
+  fraction, within-file duplicate-line rate — the profiler-as-filter
+  metrics mandated by BASELINE.json north_star; length/char-class logic
+  mirrors ``StringProfiler`` (``profile.py:389-476``).
+
+IMPORTANT scrub invariant (SURVEY.md M3): line-ending normalization is
+*recorded as metrics only* — ``content`` is never modified here, so
+``sha256(content)`` stays equal to the input hash for unscrubbed rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Control chars that indicate binary-ish content (excluding \t \n \r).
+_NON_PRINTABLE_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_ALNUM_CLASS = "[0-9A-Za-z]"
+
+
+def sha256_hex(arr: pa.Array) -> pa.Array:
+    """Per-row sha256 hex digest of a string/binary array.
+
+    hashlib is C-backed; the loop cost is dominated by hashing throughput.
+    (Reference hashes values with sha256 for its audit log / key index:
+    ``keys.py:350-364``, ``DATA_MODEL.md:378-396``.)
+    """
+    binary = pc.cast(arr, pa.large_binary())
+    out = [
+        None if v is None else hashlib.sha256(v.as_py()).hexdigest()
+        for v in binary
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def utf8_validity(binary_arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Validate UTF-8 per row of a binary array.
+
+    Returns ``(valid: bool, error_offset: int64)`` where error_offset is
+    the exact byte offset of the first invalid sequence (-1 when valid) —
+    matching the reference's ``UTF8Validator`` contract
+    (``ingest.py:81-279``: is_valid + byte_offset).
+    """
+    valid = []
+    offsets = []
+    for v in binary_arr:
+        if v is None:
+            valid.append(True)
+            offsets.append(-1)
+            continue
+        b = v.as_py()
+        try:
+            b.decode("utf-8", errors="strict")
+            valid.append(True)
+            offsets.append(-1)
+        except UnicodeDecodeError as e:
+            valid.append(False)
+            offsets.append(e.start)
+    return pa.array(valid, pa.bool_()), pa.array(offsets, pa.int64())
+
+
+def _reduceat_safe(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """np.<op>.reduceat that tolerates empty segments (returns 0 for them).
+
+    reduceat with starts[i] == starts[i+1] returns values[starts[i]] — wrong
+    for empty segments; mask them out explicitly.
+    """
+    if len(starts) == 0:
+        return np.zeros(0, dtype=values.dtype)
+    seg_len = np.diff(np.append(starts, len(values)))
+    # Clamp starts for empty trailing segments to avoid out-of-bounds.
+    clamped = np.minimum(starts, max(len(values) - 1, 0))
+    if len(values) == 0:
+        return np.zeros(len(starts), dtype=np.int64)
+    out = op.reduceat(values, clamped)
+    out[seg_len == 0] = 0
+    return out
+
+
+def line_ending_counts(content: pa.Array) -> dict[str, pa.Array]:
+    """CRLF / lone-LF / lone-CR counts + mixed flag per row.
+
+    Semantics follow ``CRLFDetector.detect`` (``ingest.py:282-430``):
+    crlf_count counts ``\\r\\n`` pairs; lf/cr counts are *lone* occurrences;
+    mixed = more than one style present.
+    """
+    crlf = pc.count_substring(content, "\r\n")
+    cr_total = pc.count_substring(content, "\r")
+    lf_total = pc.count_substring(content, "\n")
+    lone_cr = pc.subtract(cr_total, crlf)
+    lone_lf = pc.subtract(lf_total, crlf)
+    styles = pc.add(
+        pc.add(
+            pc.cast(pc.greater(crlf, 0), pa.int32()),
+            pc.cast(pc.greater(lone_cr, 0), pa.int32()),
+        ),
+        pc.cast(pc.greater(lone_lf, 0), pa.int32()),
+    )
+    return {
+        "crlf_count": pc.cast(crlf, pa.int64()),
+        "lone_lf_count": pc.cast(lone_lf, pa.int64()),
+        "lone_cr_count": pc.cast(lone_cr, pa.int64()),
+        "mixed_line_endings": pc.greater(styles, 1),
+    }
+
+
+def line_metrics(content: pa.Array) -> dict[str, np.ndarray]:
+    """Per-row line statistics computed via Arrow list kernels + reduceat.
+
+    Lines are split on ``\\n`` after a metrics-only CRLF/CR -> LF
+    normalization (``CRLFDetector.normalize`` semantics, ``ingest.py:432-448``
+    — but applied to a *copy*; input content is untouched).
+
+    Returns numpy arrays: n_lines, max_line_len, mean_line_len,
+    blank_line_frac, dup_line_rate (1 - distinct/nonblank lines; 0 when the
+    file has no nonblank lines).
+    """
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    norm = pc.replace_substring(content, "\r\n", "\n")
+    norm = pc.replace_substring(norm, "\r", "\n")
+    norm = pc.fill_null(norm, "")
+    lines = pc.split_pattern(norm, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+
+    n_rows = len(lines)
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = lines.offsets.to_numpy(zero_copy_only=False)[:-1].astype(np.int64)
+    # account for a possible array-level offset in the child
+    offsets = offsets - (offsets[0] if n_rows else 0)
+
+    max_line = _reduceat_safe(np.maximum, flat_len, offsets)
+    sum_line = _reduceat_safe(np.add, flat_len, offsets)
+    mean_line = np.where(n_lines > 0, sum_line / np.maximum(n_lines, 1), 0.0)
+
+    # blank lines: empty after whitespace trim
+    trimmed = pc.utf8_trim_whitespace(flat)
+    blank = pc.equal(pc.utf8_length(trimmed), 0)
+    blank_np = blank.to_numpy(zero_copy_only=False).astype(np.int64)
+    blank_per_row = _reduceat_safe(np.add, blank_np, offsets)
+    blank_frac = np.where(n_lines > 0, blank_per_row / np.maximum(n_lines, 1), 0.0)
+
+    # within-file duplicate-line rate over nonblank lines:
+    # hash lines, count distinct per row via lexsort + adjacency.
+    nonblank_mask = blank_np == 0
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), n_lines)
+    r = row_ids[nonblank_mask]
+    if len(r):
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(flat.to_pandas(), dtype=object)[nonblank_mask]
+        ).astype(np.uint64)
+        order = np.lexsort((h, r))
+        rs, hs = r[order], h[order]
+        new_pair = np.ones(len(rs), dtype=bool)
+        new_pair[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        distinct_per_row = np.bincount(rs[new_pair], minlength=n_rows)
+        nonblank_per_row = np.bincount(r, minlength=n_rows)
+    else:
+        distinct_per_row = np.zeros(n_rows, dtype=np.int64)
+        nonblank_per_row = np.zeros(n_rows, dtype=np.int64)
+    dup_rate = np.where(
+        nonblank_per_row > 0,
+        1.0 - distinct_per_row / np.maximum(nonblank_per_row, 1),
+        0.0,
+    )
+
+    return {
+        "n_lines": n_lines,
+        "max_line_len": max_line,
+        "mean_line_len": mean_line,
+        "blank_line_frac": blank_frac,
+        "dup_line_rate": dup_rate,
+        "nonblank_lines": nonblank_per_row.astype(np.int64),
+    }
+
+
+def compute_text_metrics(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    """Append all per-file heuristic metric columns to ``batch``.
+
+    Pure Arrow/numpy kernels; safe as a stateless ``map_batches`` function
+    with ``batch_format="pyarrow"``. Appended columns:
+
+    content_sha256, n_chars, n_bytes, n_lines, max_line_len, mean_line_len,
+    blank_line_frac, dup_line_rate, alnum_ratio, non_ascii,
+    non_printable_count, crlf_count, lone_lf_count, lone_cr_count,
+    mixed_line_endings, utf8_valid.
+    """
+    content = batch[content_col]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    content = pc.fill_null(content, "")
+
+    sha = sha256_hex(content)
+    n_chars = pc.cast(pc.utf8_length(content), pa.int64())
+    n_bytes = pc.cast(pc.binary_length(pc.cast(content, pa.large_binary())), pa.int64())
+    alnum = pc.cast(pc.count_substring_regex(content, _ALNUM_CLASS), pa.float64())
+    alnum_ratio = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(alnum, pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())),
+        pa.scalar(0.0),
+    )
+    non_ascii = pc.invert(pc.string_is_ascii(content))
+    non_printable = pc.cast(
+        pc.count_substring_regex(content, _NON_PRINTABLE_CLASS), pa.int64()
+    )
+
+    le = line_ending_counts(content)
+    lm = line_metrics(content)
+
+    out = batch
+    out = out.append_column("content_sha256", sha)
+    out = out.append_column("n_chars", n_chars)
+    out = out.append_column("n_bytes", n_bytes)
+    out = out.append_column("n_lines", pa.array(lm["n_lines"], pa.int64()))
+    out = out.append_column("max_line_len", pa.array(lm["max_line_len"], pa.int64()))
+    out = out.append_column("mean_line_len", pa.array(lm["mean_line_len"], pa.float64()))
+    out = out.append_column("blank_line_frac", pa.array(lm["blank_line_frac"], pa.float64()))
+    out = out.append_column("dup_line_rate", pa.array(lm["dup_line_rate"], pa.float64()))
+    out = out.append_column("nonblank_lines", pa.array(lm["nonblank_lines"], pa.int64()))
+    out = out.append_column("alnum_ratio", pc.cast(alnum_ratio, pa.float64()))
+    out = out.append_column("non_ascii", non_ascii)
+    out = out.append_column("non_printable_count", non_printable)
+    for name, arr in le.items():
+        out = out.append_column(name, arr)
+    # Arrow string columns are valid UTF-8 by construction; binary inputs go
+    # through utf8_validity() upstream. Keep the column for rule uniformity.
+    out = out.append_column(
+        "utf8_valid", pa.array(np.ones(len(out), dtype=bool))
+    )
+    return out

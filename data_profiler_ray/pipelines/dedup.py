@@ -1,0 +1,144 @@
+"""Deduplication operator family over a document/text table.
+
+Exact dedup re-expresses the reference's hash-based duplicate detection
+(``/root/reference/api/services/keys.py:222-491``: sha of key values,
+count per hash, keep examples) as a hash-shuffle ``groupby``; the
+near-dup family (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine)
+are the standard public web-scale additions (SURVEY.md "beyond the
+reference" mandate).
+
+Scale pattern shared by all: vectorized per-batch signature computation in
+``map_batches`` (Arrow in/out), then ONE ``groupby`` shuffle on a
+uniformly-distributed signature key, then per-group work bounded by bucket
+size. Nothing materializes the full dataset on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _sha64(arr: pa.Array) -> np.ndarray:
+    """64-bit content hashes (first 8 bytes of sha256) as uint64."""
+    binary = pc.cast(pc.fill_null(arr, ""), pa.large_binary())
+    return np.array(
+        [
+            int.from_bytes(hashlib.sha256(v.as_py()).digest()[:8], "big")
+            for v in binary
+        ],
+        dtype=np.uint64,
+    )
+
+
+def dedup_exact_keeper_ids(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Exact dedup: the keeper id (min ``id_col``) per distinct text.
+
+    Two-level aggregate: per-batch combiner (one row per distinct hash per
+    batch) then a small ``groupby().aggregate(Min)`` shuffle — the partial
+    aggregation bounds shuffle volume by #distinct-per-batch, the standard
+    pre-aggregation pattern for skewed/duplicate-heavy corpora.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _sha64(batch[text_col]).astype(np.int64)  # int64 for stable groupby
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"h": h, "i": ids})
+        g = df.groupby("h", sort=False)["i"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("i", alias_name=id_col))
+    )
+    return merged.select_columns([id_col])
+
+
+def duplicate_stats(
+    ds: ray.data.Dataset, key_cols: list[str]
+) -> pd.DataFrame:
+    """Reference duplicate-detection aggregate on a confirmed key.
+
+    Semantics follow the API path (``runs.py:1695-1750``): rows with any
+    null key member are skipped and counted; ``duplicate_keys`` = #keys
+    with count>1; ``duplicate_rows`` = Σ(count-1) (the "extra rows"
+    variant — SURVEY.md §7.4 documents the reference's internal
+    disagreement and picks this one).
+
+    Returns a one-row DataFrame:
+    (total_rows, skipped_null_rows, distinct_keys, duplicate_keys,
+    duplicate_rows).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        null_mask = np.zeros(n, dtype=bool)
+        parts = []
+        for c in key_cols:
+            col = batch[c]
+            null_mask |= pc.is_null(col).to_numpy(zero_copy_only=False)
+            parts.append(
+                pc.cast(col, pa.string()).to_numpy(zero_copy_only=False).astype(object)
+            )
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined + "\x00" + p  # compound key join (keys.py:350-364)
+        keep = ~null_mask
+        df = pd.DataFrame({"k": joined[keep]})
+        g = df.groupby("k", sort=False).size().reset_index(name="cnt")
+        g["skipped"] = 0
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        skipped_row = pa.table(
+            {
+                "k": pa.array(["\x01__skipped__"], pa.string()),
+                "cnt": pa.array([0], pa.int64()),
+                "skipped": pa.array([int(null_mask.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out.cast(skipped_row.schema), skipped_row])
+
+    per_key = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("skipped", alias_name="skipped"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        skipped = int(df.skipped.sum())
+        df = df[df.k != "\x01__skipped__"]
+        cnt = df.cnt.to_numpy()
+        return pa.table(
+            {
+                "total_rows": pa.array([int(cnt.sum()) + skipped], pa.int64()),
+                "skipped_null_rows": pa.array([skipped], pa.int64()),
+                "distinct_keys": pa.array([int(len(df))], pa.int64()),
+                "duplicate_keys": pa.array([int((cnt > 1).sum())], pa.int64()),
+                "duplicate_rows": pa.array([int((cnt[cnt > 1] - 1).sum())], pa.int64()),
+            }
+        )
+
+    # per_key is one row per distinct key — small relative to input; the
+    # final roll-up is a driver-side reduce over partial scalar rows.
+    def partial_final(batch: pa.Table) -> pa.Table:
+        return final(batch)
+
+    parts = per_key.map_batches(partial_final, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "total_rows": [int(parts.total_rows.sum())],
+            "skipped_null_rows": [int(parts.skipped_null_rows.sum())],
+            "distinct_keys": [int(parts.distinct_keys.sum())],
+            "duplicate_keys": [int(parts.duplicate_keys.sum())],
+            "duplicate_rows": [int(parts.duplicate_rows.sum())],
+        }
+    )

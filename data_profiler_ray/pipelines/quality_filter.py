@@ -1,0 +1,224 @@
+"""The flagship pipeline: profiler-as-quality-filter over a code table.
+
+Input schema (BASELINE.json input_hint):
+``(repo, path, commit, lang, content)`` — all strings.
+
+Stage graph (SURVEY.md §3.4)::
+
+    read_parquet
+      └─ map_batches(compute_text_metrics)       stateless tasks, Arrow in/out
+      └─ map_batches(scrub_fn)                   stateless tasks (regex set
+                                                 compiled once per worker)
+      └─ map_batches(LangIDScorer, concurrency)  actor pool, model in __init__
+      └─ map_batches(PerplexityScorer, ...)      actor pool, model in __init__
+      └─ map_batches(mark_dups_fn)               broadcast dup-keeper lookup
+      └─ map_batches(KeepDropRules)              stateless tasks
+    + a separate cheap pass: sha-project → groupby(sha) → dup keeper map
+      (the ONE wide shuffle; key = content_sha256, uniformly distributed)
+
+Scale notes:
+- The dedup shuffle moves only ``(sha256, repo\\0path)`` projections
+  (~100 B/row), never content bytes.
+- The resolved duplicate map (sha -> keeper rowkey, for shas with count>1)
+  is broadcast via ``ray.put``; assumption: duplicate *groups* are a small
+  fraction of the corpus (typical for code dedup). If that assumption
+  breaks, switch to ``dedup.dedup_exact`` which shuffles full rows instead.
+- sha256 is computed twice (once per pass); the alternative — materialize
+  the metrics pass — would pin the whole dataset in the object store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..config import DEFAULT_PII, DEFAULT_THRESHOLDS, FilterThresholds, PIIConfig
+from ..functions.text_metrics import compute_text_metrics, sha256_hex
+from ..stages.rules import KeepDropRules
+from ..stages.scorers import LangIDScorer, PerplexityScorer
+from ..stages.scrub import PIIScrub
+
+# Per-worker-process caches so stateless task stages still amortize setup.
+_PROCESS_CACHE: dict = {}
+
+
+def _rowkey(batch: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(batch["repo"], batch["path"], "\x00")
+
+
+def _sha_projection(batch: pa.Table) -> pa.Table:
+    sha = sha256_hex(batch["content"])
+    return pa.table({"content_sha256": sha, "rowkey": _rowkey(batch)})
+
+
+def compute_duplicate_keepers(ds: ray.data.Dataset) -> dict[str, str]:
+    """One wide shuffle: sha-project the input, group by sha256, return
+    ``{sha: keeper_rowkey}`` for every sha appearing more than once.
+
+    The keeper is the minimum ``repo\\0path`` rowkey — deterministic and
+    merge-order independent (SURVEY.md §7.4 determinism requirement).
+    Mirrors reference duplicate detection on a confirmed key
+    (``keys.py:321-364``: hash per key, count, keep examples).
+    """
+    proj = ds.map_batches(_sha_projection, batch_format="pyarrow")
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: one (sha, min_rowkey, count) row per sha
+        df = batch.to_pandas()
+        g = df.groupby("content_sha256", sort=False)["rowkey"].agg(["min", "size"])
+        g = g.reset_index()
+        g.columns = ["content_sha256", "min_rowkey", "cnt"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_sha256": [g["content_sha256"].iloc[0]],
+                "min_rowkey": [g["min_rowkey"].min()],
+                "cnt": [int(g["cnt"].sum())],
+            }
+        )
+
+    partials = proj.map_batches(partial_min, batch_format="pyarrow")
+    merged = partials.groupby("content_sha256").map_groups(
+        merge_group, batch_format="pandas"
+    )
+    dup = merged.filter(expr="cnt > 1")
+    dup_pdf = dup.to_pandas()  # small: only duplicated shas
+    if dup_pdf.empty:  # zero duplicates -> columnless empty frame
+        return {}
+    return dict(zip(dup_pdf["content_sha256"], dup_pdf["min_rowkey"]))
+
+
+def make_mark_dups_fn(keeper_map_ref):
+    """Stateless map_batches fn marking non-keeper duplicates.
+
+    ``keeper_map_ref`` is a ``ray.put`` handle to {sha: keeper_rowkey};
+    fetched once per worker process (broadcast join, no second shuffle —
+    SURVEY.md §2.4 J2).
+    """
+
+    def mark(batch: pa.Table) -> pa.Table:
+        key = "dupmap", keeper_map_ref.hex() if hasattr(keeper_map_ref, "hex") else id(keeper_map_ref)
+        cached = _PROCESS_CACHE.get(key)
+        if cached is None:
+            m = ray.get(keeper_map_ref)
+            shas = np.array(sorted(m.keys()), dtype=object)
+            keepers = np.array([m[s] for s in shas], dtype=object)
+            cached = (shas, keepers)
+            _PROCESS_CACHE[key] = cached
+        shas, keepers = cached
+        sha_np = batch["content_sha256"].to_numpy(zero_copy_only=False)
+        if len(shas):
+            pos = np.searchsorted(shas, sha_np)
+            pos_c = np.minimum(pos, len(shas) - 1)
+            in_dup = shas[pos_c] == sha_np
+            rk = _rowkey(batch).to_numpy(zero_copy_only=False)
+            is_dup = in_dup & (keepers[pos_c] != rk)
+        else:
+            is_dup = np.zeros(len(batch), dtype=bool)
+        return batch.append_column("is_dup_content", pa.array(is_dup))
+
+    return mark
+
+
+def _scrub_fn_factory(pii: PIIConfig):
+    def scrub(batch: pa.Table) -> pa.Table:
+        key = ("scrub", id(type(pii)))
+        inst = _PROCESS_CACHE.get(key)
+        if inst is None:
+            inst = PIIScrub(pii)
+            _PROCESS_CACHE[key] = inst
+        return inst(batch)
+
+    return scrub
+
+
+def _rules_fn_factory(thresholds: FilterThresholds):
+    rules = KeepDropRules(thresholds)
+
+    def apply_rules(batch: pa.Table) -> pa.Table:
+        return rules(batch)
+
+    return apply_rules
+
+
+def build_quality_filter(
+    ds: ray.data.Dataset,
+    *,
+    thresholds: FilterThresholds | None = None,
+    pii: PIIConfig | None = None,
+    with_scorers: bool = True,
+    with_dedup: bool = True,
+    batch_size: int = 2048,
+    scorer_concurrency: tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Assemble the flagship pipeline; returns the lazy labeled Dataset.
+
+    Output = input columns (content scrubbed where PII hit) + metric
+    columns + ``keep:bool`` + ``reason:string`` (E_* drop reason, W_*
+    warning, or null).
+    """
+    thresholds = thresholds or DEFAULT_THRESHOLDS
+    pii = pii or DEFAULT_PII
+
+    keeper_ref = None
+    if with_dedup:
+        keeper_map = compute_duplicate_keepers(ds)
+        keeper_ref = ray.put(keeper_map)
+
+    out = ds.map_batches(compute_text_metrics, batch_format="pyarrow", batch_size=batch_size)
+    out = out.map_batches(_scrub_fn_factory(pii), batch_format="pyarrow", batch_size=batch_size)
+    if with_scorers:
+        out = out.map_batches(
+            LangIDScorer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=scorer_concurrency,
+            num_cpus=1,
+        )
+        out = out.map_batches(
+            PerplexityScorer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=scorer_concurrency,
+            num_cpus=1,
+        )
+    if keeper_ref is not None:
+        out = out.map_batches(
+            make_mark_dups_fn(keeper_ref), batch_format="pyarrow", batch_size=batch_size
+        )
+    out = out.map_batches(
+        _rules_fn_factory(thresholds), batch_format="pyarrow", batch_size=batch_size
+    )
+    return out
+
+
+def drop_reason_histogram(labeled: ray.data.Dataset) -> pd.DataFrame:
+    """G9 analog: roll-up by reason (count) — the drop-reason histogram
+    required by the north_rule lineage/metrics checkpoints.
+
+    Pre-aggregated per batch before the (tiny) groupby shuffle.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "reason": pc.fill_null(batch["reason"], "<keep>"),
+                "keep": batch["keep"],
+            }
+        ).to_pandas()
+        g = df.groupby(["reason", "keep"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.to_pandas().sort_values("cnt", ascending=False).reset_index(drop=True)

@@ -1,0 +1,327 @@
+"""The queries()/oracle_sql() catalog for the driver correctness gate.
+
+Each entry is an implemented operator/pipeline from SURVEY.md §2 run over
+the driver's testdata tables; the matching oracle_sql() string computes
+the same result in DuckDB (column names matched exactly; float aggregates
+rounded identically on both sides). Entries without SQL-expressible
+semantics omit the oracle (driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_ROUND = 4
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _round_away(x, n: int):
+    """Round half away from zero (DuckDB ``round()`` semantics) — numpy /
+    pandas round half-to-even, which diverges from the oracle exactly at
+    .5 boundaries."""
+    factor = 10.0 ** n
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * factor + 0.5) / factor
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# q1_lineitem_agg — pre-aggregated grouped numeric aggregate (G1/G4 family)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """Grouped sums/avgs with per-batch partial aggregation before the
+    shuffle (SURVEY.md §7.3: combine inside map_batches, then a small
+    groupby — the wide shuffle only moves one row per key per batch)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1 - df.l_discount)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas()
+    df["avg_qty"] = _round_away(df.sum_qty / df.count_order, _ROUND)
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        df[c] = _round_away(df[c], _ROUND)
+    df["count_order"] = df["count_order"].astype("int64")
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_SQL_LINEITEM_AGG = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), {_ROUND}) AS sum_qty,
+       round(sum(l_extendedprice), {_ROUND}) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), {_ROUND}) AS sum_disc_price,
+       count(*) AS count_order,
+       round(sum(l_quantity) / count(*), {_ROUND}) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_metrics — per-file heuristic metrics (flagship M1/M2/A3 family)
+# ---------------------------------------------------------------------------
+
+def q_doc_metrics(sf_dir: str) -> pd.DataFrame:
+    from .functions.text_metrics import compute_text_metrics
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        out = compute_text_metrics(batch, content_col="text")
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_chars": out["n_chars"],
+                "n_lines": out["n_lines"],
+                "max_line_len": out["max_line_len"],
+                "alnum_ratio": pa.array(_round_away(out["alnum_ratio"].to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return (
+        ds.map_batches(metrics, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_DOC_METRICS = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, chr(10))) AS n_lines,
+       list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS max_line_len,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))::DOUBLE / length(text)
+             ELSE 0.0 END, 6) AS alnum_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_keep_drop — heuristic-only rule engine over documents
+# ---------------------------------------------------------------------------
+
+def q_doc_keep_drop(sf_dir: str) -> pd.DataFrame:
+    """Keep/drop labels from the heuristic rules alone (no scorers/dedup so
+    the decision is SQL-expressible; thresholds from config defaults)."""
+    from .functions.text_metrics import compute_text_metrics
+    from .stages.rules import KeepDropRules
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rules = KeepDropRules()
+
+    def label(batch: pa.Table) -> pa.Table:
+        out = compute_text_metrics(batch, content_col="text")
+        out = rules(out)
+        return pa.table(
+            {"doc_id": out["doc_id"], "keep": out["keep"], "reason": out["reason"]}
+        )
+
+    return (
+        ds.map_batches(label, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_DOC_KEEP_DROP = """
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(text, chr(10))) AS n_lines,
+         list_max(list_transform(string_split(text, chr(10)), x -> length(x))) AS max_line_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))::DOUBLE / length(text)
+              ELSE 0.0 END AS alnum_ratio,
+         len(list_filter(string_split(text, chr(10)), x -> trim(x) = ''))::DOUBLE
+           / len(string_split(text, chr(10))) AS blank_line_frac,
+         len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS nonblank_lines,
+         CASE WHEN len(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) > 0
+              THEN 1.0 - len(list_distinct(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')))::DOUBLE
+                   / len(list_filter(string_split(text, chr(10)), x -> trim(x) <> ''))
+              ELSE 0.0 END AS dup_line_rate
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN n_chars < 8 THEN 'E_EMPTY'
+         WHEN max_line_len > 10000 THEN 'E_MINIFIED'
+         WHEN alnum_ratio < 0.25 THEN 'E_LOW_ALNUM'
+         WHEN blank_line_frac > 0.70 THEN 'E_BLANK_HEAVY'
+         WHEN dup_line_rate > 0.80 AND nonblank_lines >= 10 THEN 'E_DUP_LINES'
+         ELSE NULL
+       END AS reason,
+       CASE
+         WHEN n_chars < 8 THEN FALSE
+         WHEN max_line_len > 10000 THEN FALSE
+         WHEN alnum_ratio < 0.25 THEN FALSE
+         WHEN blank_line_frac > 0.70 THEN FALSE
+         WHEN dup_line_rate > 0.80 AND nonblank_lines >= 10 THEN FALSE
+         ELSE TRUE
+       END AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — keeper ids per distinct text (D1/D2)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.dedup import dedup_exact_keeper_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_exact_keeper_ids(ds, text_col="text", id_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_stats — whitespace token counting aggregated per language
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(
+            pc.fill_null(batch["text"], ""), r"\S+"
+        )
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "tokens": toks.to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("tokens", "size"), sum_tokens=("tokens", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )
+    df = agg.to_pandas()
+    df["avg_tokens"] = _round_away(df.sum_tokens / df.n_docs, _ROUND)
+    df["n_docs"] = df.n_docs.astype("int64")
+    df["sum_tokens"] = df.sum_tokens.astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS sum_tokens,
+       round(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE / count(*), {_ROUND}) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate_stats — reference duplicate-detection aggregate on a key (D1)
+# ---------------------------------------------------------------------------
+
+def q_duplicate_stats(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.dedup import duplicate_stats
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return duplicate_stats(ds, ["o_custkey"])
+
+
+_SQL_DUPLICATE_STATS = """
+WITH k AS (
+  SELECT o_custkey AS k, count(*) AS cnt FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+), s AS (
+  SELECT count(*) AS skipped FROM orders WHERE o_custkey IS NULL
+)
+SELECT (SELECT coalesce(sum(cnt), 0) FROM k)::BIGINT + (SELECT skipped FROM s)::BIGINT AS total_rows,
+       (SELECT skipped FROM s)::BIGINT AS skipped_null_rows,
+       (SELECT count(*) FROM k)::BIGINT AS distinct_keys,
+       (SELECT count(*) FROM k WHERE cnt > 1)::BIGINT AS duplicate_keys,
+       (SELECT coalesce(sum(cnt - 1), 0) FROM k WHERE cnt > 1)::BIGINT AS duplicate_rows
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "lineitem_agg": q_lineitem_agg,
+        "doc_metrics": q_doc_metrics,
+        "doc_keep_drop": q_doc_keep_drop,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "duplicate_stats": q_duplicate_stats,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "lineitem_agg": _SQL_LINEITEM_AGG,
+        "doc_metrics": _SQL_DOC_METRICS,
+        "doc_keep_drop": _SQL_DOC_KEEP_DROP,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "token_stats": _SQL_TOKEN_STATS,
+        "duplicate_stats": _SQL_DUPLICATE_STATS,
+    }

@@ -1,0 +1,112 @@
+"""Keep/drop rule engine over metric columns.
+
+Recasts the reference's catastrophic / non-catastrophic error split
+(``/root/reference/api/services/errors.py:52-56`` — a bad input aborts the
+whole run) as per-row drop reasons: at 10^12-file scale one bad file must
+never abort the job (SURVEY.md §4.1). The first matching rule wins, in a
+fixed priority order; kept rows may carry a W_* warning reason
+(PII scrubbed, language mismatch), mirroring the reference's
+warning-vs-error distinction.
+
+Pure vectorized numpy over metric columns; stateless ``map_batches`` fn.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import (
+    DEFAULT_THRESHOLDS,
+    E_BLANK_HEAVY,
+    E_DUP_CONTENT,
+    E_DUP_LINES,
+    E_EMPTY,
+    E_HIGH_PERPLEXITY,
+    E_LOW_ALNUM,
+    E_MINIFIED,
+    E_TOXIC,
+    E_UTF8_INVALID,
+    FilterThresholds,
+    W_LANG_MISMATCH,
+    W_PII_SCRUBBED,
+)
+
+
+def _col(batch: pa.Table, name: str, default=None) -> np.ndarray | None:
+    if name in batch.column_names:
+        return batch[name].to_numpy(zero_copy_only=False)
+    return default
+
+
+class KeepDropRules:
+    """``map_batches`` callable appending ``keep:bool`` + ``reason:string``.
+
+    ``reason`` is the E_* drop reason for dropped rows, a W_* warning for
+    kept-but-flagged rows, and null for clean keeps. Rule priority (first
+    match wins) is the DROP_REASONS order in config.py.
+    """
+
+    def __init__(self, thresholds: FilterThresholds | None = None):
+        self.t = thresholds or DEFAULT_THRESHOLDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.t
+        n = len(batch)
+        n_chars = _col(batch, "n_chars")
+        conds: list[tuple[np.ndarray, str]] = []
+
+        utf8_valid = _col(batch, "utf8_valid")
+        if utf8_valid is not None:
+            conds.append((~utf8_valid.astype(bool), E_UTF8_INVALID))
+        conds.append((n_chars < t.min_content_chars, E_EMPTY))
+        conds.append((_col(batch, "max_line_len") > t.max_line_len, E_MINIFIED))
+        conds.append((_col(batch, "alnum_ratio") < t.min_alnum_ratio, E_LOW_ALNUM))
+        conds.append((_col(batch, "blank_line_frac") > t.max_blank_line_frac, E_BLANK_HEAVY))
+        dup_rate = _col(batch, "dup_line_rate")
+        nonblank = _col(batch, "nonblank_lines")
+        conds.append(
+            (
+                (dup_rate > t.max_dup_line_rate) & (nonblank >= t.dup_lines_min_lines),
+                E_DUP_LINES,
+            )
+        )
+        ppl = _col(batch, "perplexity")
+        if ppl is not None:
+            conds.append((ppl > t.max_perplexity, E_HIGH_PERPLEXITY))
+        tox = _col(batch, "toxicity_hits")
+        if tox is not None:
+            conds.append((tox > t.max_toxicity_hits, E_TOXIC))
+        is_dup = _col(batch, "is_dup_content")
+        if is_dup is not None:
+            conds.append((is_dup.astype(bool), E_DUP_CONTENT))
+
+        reason = np.full(n, None, dtype=object)
+        undecided = np.ones(n, dtype=bool)
+        for mask, code in conds:
+            hit = undecided & np.asarray(mask, dtype=bool)
+            reason[hit] = code
+            undecided &= ~hit
+        keep = undecided.copy()
+
+        # Warnings on kept rows (priority: scrub > lang mismatch).
+        scrubbed = _col(batch, "scrubbed")
+        if scrubbed is not None:
+            hit = keep & scrubbed.astype(bool) & (reason == None)  # noqa: E711
+            reason[hit] = W_PII_SCRUBBED
+        lang_pred = _col(batch, "lang_pred")
+        lang_conf = _col(batch, "lang_conf")
+        lang = _col(batch, "lang")
+        if lang_pred is not None and lang is not None:
+            mismatch = (
+                keep
+                & (reason == None)  # noqa: E711
+                & (lang_pred != lang)
+                & (lang_pred != "unknown")
+                & (lang_conf >= self.t.langid_min_confidence)
+            )
+            reason[mismatch] = W_LANG_MISMATCH
+
+        out = batch.append_column("keep", pa.array(keep))
+        out = out.append_column("reason", pa.array(reason, pa.string()))
+        return out

@@ -1,0 +1,156 @@
+"""Stateful scorer stages: language-ID and char-n-gram perplexity.
+
+BASELINE.json north_star mandates "fastText-style language ID" and a
+"KenLM-style n-gram perplexity scorer" running inside ``map_batches``
+actor pools with models loaded ONCE per actor (``__init__``), zero-copy
+Arrow in/out. The container has no fastText/KenLM, so both models are
+built deterministically from public-knowledge algorithms:
+
+- :class:`LangIDScorer` — keyword-evidence classifier over the language
+  keyword inventories in ``sources/synthetic.py`` (vectorized RE2 counts
+  per keyword; argmax with confidence = top/total).
+- :class:`PerplexityScorer` — char-bigram language model with additive
+  smoothing, trained in ``__init__`` on a deterministic clean-code corpus;
+  per-file perplexity computed fully vectorized from the Arrow string
+  buffer (no per-row Python).
+
+Usage::
+
+    ds.map_batches(LangIDScorer, batch_format="pyarrow",
+                   batch_size=2048, concurrency=(2, 8))
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.synthetic import LANG_KEYWORDS, _clean_content
+
+
+class LangIDScorer:
+    """Predict source language from keyword evidence.
+
+    Appends ``lang_pred:string`` and ``lang_conf:float64``. Confidence is
+    the fraction of keyword hits belonging to the winning language
+    (0.0 and ``lang_pred="unknown"`` when no keyword matches).
+    """
+
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+        # keyword -> RE2 pattern: word keywords get \b guards; symbolic
+        # keywords ("=>", "#include") are matched literally.
+        self.lang_patterns: list[tuple[str, str]] = []
+        for lang, kws in LANG_KEYWORDS.items():
+            parts = []
+            for kw in kws:
+                esc = re.escape(kw)
+                if re.fullmatch(r"[A-Za-z0-9_]+", kw):
+                    parts.append(rf"\b{esc}\b")
+                else:
+                    parts.append(esc)
+            self.lang_patterns.append((lang, "|".join(parts)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch[self.content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        content = pc.fill_null(content, "")
+        n = len(batch)
+        counts = np.zeros((len(self.lang_patterns), n), dtype=np.float64)
+        for k, (_lang, pattern) in enumerate(self.lang_patterns):
+            counts[k] = pc.count_substring_regex(content, pattern).to_numpy(
+                zero_copy_only=False
+            )
+        totals = counts.sum(axis=0)
+        best = counts.argmax(axis=0)
+        best_counts = counts[best, np.arange(n)]
+        conf = np.divide(
+            best_counts, totals, out=np.zeros(n, dtype=np.float64), where=totals > 0
+        )
+        langs = np.array([lang for lang, _ in self.lang_patterns], dtype=object)
+        pred = langs[best]
+        pred[totals == 0] = "unknown"
+        out = batch.append_column("lang_pred", pa.array(pred, pa.string()))
+        out = out.append_column("lang_conf", pa.array(conf, pa.float64()))
+        return out
+
+
+def _training_corpus(seed: int = 1234, per_lang: int = 30) -> bytes:
+    """Deterministic clean-code training text for the perplexity LM.
+
+    A stand-in for a real reference corpus (public KenLM practice: train on
+    held-out clean data); built from the same public token inventories as
+    the synthetic generator, with an independent seed.
+    """
+    rng = np.random.default_rng(seed)
+    parts = []
+    for lang in LANG_KEYWORDS:
+        for _ in range(per_lang):
+            parts.append(_clean_content(rng, lang))
+    return "\n".join(parts).encode("utf-8")
+
+
+class PerplexityScorer:
+    """Char-bigram LM perplexity per file, appended as ``perplexity:float64``.
+
+    Model: P(c2|c1) with additive smoothing alpha over the 256-byte
+    alphabet; perplexity = exp(mean negative log-prob over the file's
+    bigrams). Empty / 1-byte files score 1.0 (no evidence).
+
+    The whole batch is scored vectorized off the Arrow buffer: byte ids ->
+    bigram ids -> table lookup -> segmented mean via ``np.add.reduceat``.
+    """
+
+    def __init__(self, content_col: str = "content", alpha: float = 0.1):
+        self.content_col = content_col
+        corpus = np.frombuffer(_training_corpus(), dtype=np.uint8).astype(np.int64)
+        pair_ids = corpus[:-1] * 256 + corpus[1:]
+        counts = np.bincount(pair_ids, minlength=65536).reshape(256, 256).astype(np.float64)
+        row_totals = counts.sum(axis=1, keepdims=True)
+        probs = (counts + alpha) / (row_totals + alpha * 256)
+        self.logp = np.log(probs).astype(np.float32).reshape(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch[self.content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        content = pc.fill_null(content, "")
+        binary = pc.cast(content, pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        if len(binary) == 0:
+            return batch.append_column("perplexity", pa.array([], pa.float64()))
+        # zero-copy views of the values + offsets buffers
+        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+            binary.offset : binary.offset + len(binary) + 1
+        ]
+        data_buf = binary.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        n = len(binary)
+        lens = np.diff(offsets)
+
+        if data.size >= 2:
+            ids = data.astype(np.int64)
+            pair_logp = self.logp[ids[:-1] * 256 + ids[1:]].astype(np.float64)
+            # zero out pairs that straddle row boundaries
+            boundary = offsets[1:-1] - 1  # last byte index of rows 0..n-2
+            boundary = boundary[(boundary >= 0) & (boundary < pair_logp.size)]
+            pair_logp[boundary] = 0.0
+            starts = np.minimum(offsets[:-1], max(pair_logp.size - 1, 0))
+            sums = np.add.reduceat(pair_logp, starts) if pair_logp.size else np.zeros(n)
+            n_pairs = np.maximum(lens - 1, 0)
+            # reduceat quirk: empty segments return the element at start
+            sums[n_pairs == 0] = 0.0
+            ppl = np.where(n_pairs > 0, np.exp(-sums / np.maximum(n_pairs, 1)), 1.0)
+        else:
+            ppl = np.ones(n, dtype=np.float64)
+
+        return batch.append_column("perplexity", pa.array(ppl, pa.float64()))

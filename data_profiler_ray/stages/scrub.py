@@ -1,0 +1,103 @@
+"""Stateless regex PII/toxicity scrub stage.
+
+The reference is PII-aware in audit logging only (hashes instead of raw
+values — ``/root/reference/api/services/audit.py:1-49``); the scrub stage
+itself is mandated by BASELINE.json north_star: SSN / MRN / email / phone /
+AWS-key patterns plus a toxicity lexicon, applied in one pass.
+
+Invariants (tested):
+- rows with no pattern hit are returned byte-identical (``scrubbed=False``
+  and sha256(content) equality with the input);
+- scrubbed rows get deterministic replacement tokens (byte-exact across
+  runs and partitionings).
+
+Execution: callable class for ``map_batches`` — regexes compile once per
+actor in ``__init__``; a vectorized RE2 prefilter
+(``pyarrow.compute.match_substring_regex``) keeps clean rows off the
+Python ``re.subn`` path, so the per-row cost is paid only by PII rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_PII, PIIConfig
+
+# Loosened superset indicators used for the vectorized prefilter. Any row
+# that any real pattern could match MUST match this (tested on the
+# synthetic corpus).
+_PREFILTER = r"@|AKIA|MRN|\d{3}[-. ]\d{2,4}[-. ]\d{4}|\(\d{3}\)"
+
+
+class PIIScrub:
+    """``map_batches`` callable: scrub PII, count toxicity lexicon hits."""
+
+    def __init__(self, config: PIIConfig | None = None, content_col: str = "content"):
+        self.config = config or DEFAULT_PII
+        self.content_col = content_col
+        self.compiled = [
+            (name, re.compile(pattern), repl)
+            for name, (pattern, repl) in self.config.patterns.items()
+        ]
+        lex = "|".join(re.escape(w) for w in self.config.toxicity_lexicon)
+        self.toxicity_pattern = rf"\b(?:{lex})\b" if lex else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch[self.content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        content = pc.fill_null(content, "")
+
+        candidates = pc.match_substring_regex(content, _PREFILTER)
+        cand_np = candidates.to_numpy(zero_copy_only=False)
+        n = len(batch)
+        hit_counts = {name: np.zeros(n, dtype=np.int64) for name, _, _ in self.compiled}
+        scrubbed = np.zeros(n, dtype=bool)
+
+        if cand_np.any():
+            idxs = np.flatnonzero(cand_np)
+            cand_values = content.take(pa.array(idxs)).to_pylist()
+            changed_vals: list[str] = []
+            changed_idx: list[int] = []
+            for j, i in enumerate(idxs):
+                text = cand_values[j]
+                total = 0
+                for name, rx, repl in self.compiled:
+                    text, k = rx.subn(repl, text)
+                    hit_counts[name][i] = k
+                    total += k
+                if total:
+                    changed_vals.append(text)
+                    changed_idx.append(int(i))
+                    scrubbed[i] = True
+            if changed_idx:
+                # Stitch scrubbed values back without touching clean rows:
+                # concat [original, replacements] and take by index.
+                rep = pa.array(changed_vals, type=content.type)
+                sel = np.arange(n, dtype=np.int64)
+                sel[np.array(changed_idx, dtype=np.int64)] = n + np.arange(
+                    len(changed_idx), dtype=np.int64
+                )
+                content = pa.concat_arrays(
+                    [content, rep.cast(content.type)]
+                ).take(pa.array(sel))
+
+        if self.toxicity_pattern:
+            tox = pc.cast(
+                pc.count_substring_regex(content, self.toxicity_pattern), pa.int64()
+            )
+        else:
+            tox = pa.array(np.zeros(n, dtype=np.int64))
+
+        out = batch.set_column(
+            batch.schema.get_field_index(self.content_col), self.content_col, content
+        )
+        out = out.append_column("scrubbed", pa.array(scrubbed))
+        for name in hit_counts:
+            out = out.append_column(f"pii_{name}", pa.array(hit_counts[name]))
+        out = out.append_column("toxicity_hits", tox)
+        return out

@@ -1,0 +1,41 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def synthetic_table() -> pa.Table:
+    from data_profiler_ray.sources.synthetic import generate_code_table
+
+    return generate_code_table(600, seed=42)
+
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE

@@ -1,0 +1,63 @@
+"""Every queries() entry vs its DuckDB oracle, driver-style comparison:
+row count, column names, and order-insensitive values."""
+
+import duckdb
+import pandas as pd
+import pytest
+import ray
+
+from data_profiler_ray import queries_catalog
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def to_pdf(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+@pytest.mark.parametrize("name", list(queries_catalog.queries().keys()))
+def test_query_matches_oracle(name, con, sf_dir, ray_session):
+    q = queries_catalog.queries()[name]
+    sqls = queries_catalog.oracle_sql()
+    if name not in sqls:
+        result = to_pdf(q(sf_dir))
+        assert len(result) >= 0
+        return
+    mine = normalize(to_pdf(q(sf_dir)))
+    oracle = normalize(con.execute(sqls[name]).fetchdf())
+    assert list(mine.columns) == list(oracle.columns), (
+        f"{name} columns {list(mine.columns)} vs {list(oracle.columns)}"
+    )
+    assert len(mine) == len(oracle), f"{name} rows {len(mine)} vs {len(oracle)}"
+    for c in mine.columns:
+        a, b = mine[c], oracle[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False,
+                rtol=0, atol=1e-9, check_index=False,
+            )
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), f"{name} col {c}"

@@ -1,0 +1,78 @@
+"""End-to-end flagship pipeline: keep/drop F1 vs planted cohort labels.
+
+North-rule gate: F1 >= 0.99 vs reference-semantics labels, plus scrubbed
+rows byte-exact and unscrubbed rows sha256-stable (BASELINE.md rebuild
+targets).
+"""
+
+import hashlib
+
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.quality_filter import (
+    build_quality_filter,
+    drop_reason_histogram,
+)
+from data_profiler_ray.sources.synthetic import (
+    generate_code_table,
+    strip_oracle_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled_and_oracle(ray_session):
+    oracle = generate_code_table(1200, seed=42)
+    ds = ray.data.from_arrow(strip_oracle_columns(oracle)).repartition(4)
+    labeled = build_quality_filter(ds, scorer_concurrency=2)
+    return labeled.to_pandas(), oracle.to_pandas()
+
+
+def test_keep_drop_f1(labeled_and_oracle):
+    df, odf = labeled_and_oracle
+    m = df.merge(
+        odf[["repo", "path", "expected_keep", "expected_reason"]], on=["repo", "path"]
+    )
+    assert len(m) == len(df)
+    tp = ((m.keep) & (m.expected_keep)).sum()
+    fp = ((m.keep) & (~m.expected_keep)).sum()
+    fn = ((~m.keep) & (m.expected_keep)).sum()
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.99, f"F1 {f1:.4f}"
+
+
+def test_drop_reasons_match(labeled_and_oracle):
+    df, odf = labeled_and_oracle
+    m = df.merge(
+        odf[["repo", "path", "expected_reason"]], on=["repo", "path"]
+    )
+    mismatch = (m.reason.fillna("-") != m.expected_reason.fillna("-")).mean()
+    assert mismatch <= 0.01
+
+
+def test_sha256_invariant(labeled_and_oracle):
+    """Unscrubbed rows: content_sha256 == sha256(output content).
+    Scrubbed rows: hash differs and content carries redaction tokens."""
+    df, _ = labeled_and_oracle
+    out_sha = df.content.map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    unscrubbed = ~df.scrubbed
+    assert (df.content_sha256[unscrubbed] == out_sha[unscrubbed]).all()
+    assert (df.content_sha256[df.scrubbed] != out_sha[df.scrubbed]).all()
+    assert df.content[df.scrubbed].str.contains("REDACTED").all()
+
+
+def test_scrub_flag_agreement(labeled_and_oracle):
+    df, odf = labeled_and_oracle
+    m = df.merge(odf[["repo", "path", "expected_scrubbed"]], on=["repo", "path"])
+    assert (m.scrubbed == m.expected_scrubbed).all()
+
+
+def test_drop_reason_histogram(ray_session):
+    oracle = generate_code_table(300, seed=9)
+    ds = ray.data.from_arrow(strip_oracle_columns(oracle))
+    labeled = build_quality_filter(ds, with_scorers=False, scorer_concurrency=2)
+    hist = drop_reason_histogram(labeled)
+    assert hist.cnt.sum() == 300
+    assert "<keep>" in set(hist.reason)

@@ -1,0 +1,75 @@
+"""LangID + perplexity scorer behavior on the synthetic cohorts."""
+
+import numpy as np
+import pyarrow as pa
+
+from data_profiler_ray.sources.synthetic import generate_code_table
+from data_profiler_ray.stages.scorers import LangIDScorer, PerplexityScorer
+
+
+def test_langid_on_clean_cohort():
+    table = generate_code_table(500, seed=11)
+    scorer = LangIDScorer()
+    out = scorer(pa.table({"content": table["content"].combine_chunks()}))
+    pred = out["lang_pred"].to_pylist()
+    conf = out["lang_conf"].to_pylist()
+    langs = table["lang"].to_pylist()
+    cohorts = table["cohort"].to_pylist()
+    hits = total = 0
+    for i, c in enumerate(cohorts):
+        if c == "clean":
+            total += 1
+            if pred[i] == langs[i] and conf[i] >= 0.5:
+                hits += 1
+    assert total > 0
+    assert hits / total >= 0.95
+
+
+def test_langid_detects_mismatch():
+    table = generate_code_table(500, seed=11)
+    scorer = LangIDScorer()
+    out = scorer(pa.table({"content": table["content"].combine_chunks()}))
+    pred = out["lang_pred"].to_pylist()
+    langs = table["lang"].to_pylist()
+    cohorts = table["cohort"].to_pylist()
+    mism = [i for i, c in enumerate(cohorts) if c == "lang_mismatch"]
+    assert mism
+    detected = sum(1 for i in mism if pred[i] != langs[i])
+    assert detected / len(mism) >= 0.9
+
+
+def test_perplexity_separates_gibberish():
+    table = generate_code_table(600, seed=13)
+    scorer = PerplexityScorer()
+    out = scorer(pa.table({"content": table["content"].combine_chunks()}))
+    ppl = np.array(out["perplexity"].to_pylist())
+    cohorts = np.array(table["cohort"].to_pylist())
+    clean_ppl = ppl[cohorts == "clean"]
+    gib_ppl = ppl[cohorts == "gibberish"]
+    assert len(gib_ppl) > 0
+    assert clean_ppl.max() < gib_ppl.min(), (
+        f"clean max {clean_ppl.max():.1f} vs gibberish min {gib_ppl.min():.1f}"
+    )
+
+
+def test_perplexity_empty_and_single_char():
+    scorer = PerplexityScorer()
+    out = scorer(pa.table({"content": pa.array(["", "x", "ab"], pa.string())}))
+    ppl = out["perplexity"].to_pylist()
+    assert ppl[0] == 1.0
+    assert ppl[1] == 1.0
+    assert ppl[2] > 1.0
+
+
+def test_perplexity_vectorized_matches_scalar():
+    """Batch computation must equal per-row computation (boundary handling)."""
+    scorer = PerplexityScorer()
+    vals = ["def foo(): pass", "", "a", "hello world\nline two", "zzzzqqqq"]
+    batch_out = scorer(pa.table({"content": pa.array(vals, pa.string())}))[
+        "perplexity"
+    ].to_pylist()
+    for i, v in enumerate(vals):
+        solo = scorer(pa.table({"content": pa.array([v], pa.string())}))[
+            "perplexity"
+        ].to_pylist()[0]
+        assert abs(batch_out[i] - solo) < 1e-9

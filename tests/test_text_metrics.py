@@ -1,0 +1,84 @@
+"""Unit tests for vectorized text metrics (reference parity: ingest.py
+CRLFDetector / UTF8Validator, profile.py StringProfiler length semantics)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from data_profiler_ray.functions.text_metrics import (
+    compute_text_metrics,
+    line_ending_counts,
+    line_metrics,
+    sha256_hex,
+    utf8_validity,
+)
+
+
+def T(contents):
+    return pa.table({"content": pa.array(contents, pa.string())})
+
+
+def test_sha256_matches_hashlib():
+    vals = ["hello", "", "unicode ✓ é", "a\nb"]
+    out = sha256_hex(pa.array(vals)).to_pylist()
+    assert out == [hashlib.sha256(v.encode()).hexdigest() for v in vals]
+
+
+def test_utf8_validity_offsets():
+    # reference UTF8Validator reports exact byte offset of first invalid
+    # sequence (ingest.py:81-279)
+    arr = pa.array([b"good", b"ab\xff\xfecd", b"\xc3\xa9ok"], pa.binary())
+    valid, offsets = utf8_validity(arr)
+    assert valid.to_pylist() == [True, False, True]
+    assert offsets.to_pylist() == [-1, 2, -1]
+
+
+def test_line_ending_counts():
+    # CRLFDetector semantics: crlf pairs counted; lone counts exclude pairs
+    t = T(["a\r\nb\r\nc", "a\nb", "a\rb", "a\r\nb\nc"])
+    le = line_ending_counts(t["content"].combine_chunks())
+    assert le["crlf_count"].to_pylist() == [2, 0, 0, 1]
+    assert le["lone_lf_count"].to_pylist() == [0, 1, 0, 1]
+    assert le["lone_cr_count"].to_pylist() == [0, 0, 1, 0]
+    assert le["mixed_line_endings"].to_pylist() == [False, False, False, True]
+
+
+def test_line_metrics_basic():
+    t = T(["ab\ncdef\n\nx", "", "one"])
+    m = line_metrics(t["content"].combine_chunks())
+    assert list(m["n_lines"]) == [4, 1, 1]
+    assert list(m["max_line_len"]) == [4, 0, 3]
+    assert m["blank_line_frac"][0] == pytest.approx(0.25)
+    assert m["blank_line_frac"][1] == pytest.approx(1.0)
+
+
+def test_dup_line_rate():
+    dup = "\n".join(["same line"] * 10)
+    uniq = "\n".join(f"line {i}" for i in range(10))
+    m = line_metrics(T([dup, uniq])["content"].combine_chunks())
+    assert m["dup_line_rate"][0] == pytest.approx(0.9)
+    assert m["dup_line_rate"][1] == pytest.approx(0.0)
+
+
+def test_crlf_does_not_modify_content():
+    # scrub invariant: metrics-only normalization (SURVEY.md M3)
+    t = T(["a\r\nb"])
+    out = compute_text_metrics(t)
+    assert out["content"].to_pylist() == ["a\r\nb"]
+    assert out["content_sha256"].to_pylist() == [
+        hashlib.sha256(b"a\r\nb").hexdigest()
+    ]
+    assert out["n_lines"].to_pylist() == [2]
+
+
+def test_alnum_ratio_and_flags():
+    out = compute_text_metrics(T(["abc!!!", "é", "\x01\x02ab"]))
+    assert out["alnum_ratio"].to_pylist()[0] == pytest.approx(0.5)
+    assert out["non_ascii"].to_pylist() == [False, True, False]
+    assert out["non_printable_count"].to_pylist() == [0, 0, 2]
+
+
+def test_empty_batch():
+    out = compute_text_metrics(T([]))
+    assert len(out) == 0
