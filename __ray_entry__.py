@@ -20,6 +20,9 @@ def _documents_as_code_table(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from data_profiler_ray.util import tune_context
+
+    tune_context()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
     def to_code_shape(batch: pa.Table) -> pa.Table:
@@ -44,7 +47,7 @@ def entry() -> Any:
     from data_profiler_ray.pipelines.quality_filter import build_quality_filter
 
     ds = _documents_as_code_table("/root/testdata/sf0.001")
-    labeled = build_quality_filter(ds, scorer_concurrency=2)
+    labeled = build_quality_filter(ds, scorer_concurrency=(1, 4))
     return labeled
 
 

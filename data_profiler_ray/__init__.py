@@ -23,3 +23,26 @@ The reference defines the *semantics* (docstrings cite file:line into
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Keep large allocations in the malloc arena instead of per-call mmap.
+
+    This sandbox kernel has very slow page faults (~8 MB/s first-touch);
+    glibc mmap()s every allocation above 128 KB and munmap()s it on free,
+    so every batch's numpy scratch re-faults tens of MB (measured: a 46 MB
+    bool->int64 astype = 2.3 s cold, 6 ms once the arena is reused).
+    Raising M_MMAP_THRESHOLD / M_TRIM_THRESHOLD makes the arena sticky.
+    Runs at import, so every Ray worker that imports the package is tuned.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass  # non-glibc platform: harmless no-op
+
+
+_tune_allocator()

@@ -1,0 +1,173 @@
+"""Numeric / string profiler partial states (mergeable, vectorized).
+
+Reference semantics:
+- ``NumericProfiler`` (``/root/reference/api/services/profile.py:237-382``):
+  null = empty after strip; invalid = fails ``^\\d+(\\.\\d+)?$``; exact
+  mean/stddev via Welford — here per-batch Welford partials merged with
+  Chan's parallel formula (same exact algorithm family, merge-order
+  independent up to float associativity).
+- ``StringProfiler`` (``profile.py:389-476``): stripped-length min/max/avg,
+  has_non_ascii, character-class presence set; top-N handled by the
+  distinct shuffle in pipelines/profiler.py (the reference's in-memory
+  Counter cannot exist at 10^12 rows).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NUMERIC_RE = r"^[0-9]+(\.[0-9]+)?$"
+_SPECIAL_CLASS = r"[!@#$%^&*()_+\-=\[\]{}|;:,.<>?/~`\"'\\]"
+
+
+def _strip(values: pa.Array) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pc.utf8_trim_whitespace(pc.fill_null(pc.cast(values, pa.string()), ""))
+
+
+@dataclass
+class NumericPartial:
+    n: int = 0            # valid count
+    mean: float = 0.0
+    m2: float = 0.0
+    null_count: int = 0
+    invalid_count: int = 0
+    min_value: float | None = None
+    max_value: float | None = None
+
+    def merge(self, o: "NumericPartial") -> "NumericPartial":
+        # Chan et al. parallel Welford merge
+        p = NumericPartial(
+            null_count=self.null_count + o.null_count,
+            invalid_count=self.invalid_count + o.invalid_count,
+        )
+        n = self.n + o.n
+        p.n = n
+        if n > 0:
+            delta = o.mean - self.mean
+            p.mean = self.mean + delta * (o.n / n if n else 0)
+            p.m2 = self.m2 + o.m2 + delta * delta * self.n * o.n / n
+        mins = [x for x in (self.min_value, o.min_value) if x is not None]
+        maxs = [x for x in (self.max_value, o.max_value) if x is not None]
+        p.min_value = min(mins) if mins else None
+        p.max_value = max(maxs) if maxs else None
+        return p
+
+    def finalize(self) -> dict:
+        mean = self.mean if self.n >= 1 else None
+        stddev = math.sqrt(self.m2 / (self.n - 1)) if self.n >= 2 else None
+        return {
+            "count": self.n + self.null_count + self.invalid_count,
+            "valid_count": self.n,
+            "null_count": self.null_count,
+            "invalid_count": self.invalid_count,
+            "min_value": self.min_value,
+            "max_value": self.max_value,
+            "mean": mean,
+            "stddev": stddev,
+        }
+
+
+def profile_numeric_batch(values: pa.Array) -> NumericPartial:
+    stripped = _strip(values)
+    p = NumericPartial()
+    null_mask = pc.equal(pc.utf8_length(stripped), 0).to_numpy(zero_copy_only=False)
+    p.null_count = int(null_mask.sum())
+    nonnull = stripped.filter(pa.array(~null_mask))
+    if len(nonnull) == 0:
+        return p
+    valid_mask = pc.match_substring_regex(nonnull, NUMERIC_RE).to_numpy(zero_copy_only=False)
+    p.invalid_count = int((~valid_mask).sum())
+    if valid_mask.any():
+        vals = pc.cast(
+            nonnull.filter(pa.array(valid_mask)), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        p.n = len(vals)
+        p.mean = float(vals.mean())
+        p.m2 = float(((vals - vals.mean()) ** 2).sum())
+        p.min_value = float(vals.min())
+        p.max_value = float(vals.max())
+    return p
+
+
+def profile_float_batch(vals: np.ndarray) -> NumericPartial:
+    """Numeric partial over an already-numeric column (nulls pre-dropped)."""
+    p = NumericPartial()
+    if len(vals) == 0:
+        return p
+    p.n = int(len(vals))
+    p.mean = float(vals.mean())
+    p.m2 = float(((vals - vals.mean()) ** 2).sum())
+    p.min_value = float(vals.min())
+    p.max_value = float(vals.max())
+    return p
+
+
+@dataclass
+class StringPartial:
+    value_count: int = 0
+    null_count: int = 0
+    min_length: int | None = None
+    max_length: int | None = None
+    total_length: int = 0
+    has_non_ascii: bool = False
+    character_types: set = field(default_factory=set)
+
+    def merge(self, o: "StringPartial") -> "StringPartial":
+        p = StringPartial(
+            value_count=self.value_count + o.value_count,
+            null_count=self.null_count + o.null_count,
+            total_length=self.total_length + o.total_length,
+            has_non_ascii=self.has_non_ascii or o.has_non_ascii,
+            character_types=self.character_types | o.character_types,
+        )
+        mins = [x for x in (self.min_length, o.min_length) if x is not None]
+        maxs = [x for x in (self.max_length, o.max_length) if x is not None]
+        p.min_length = min(mins) if mins else None
+        p.max_length = max(maxs) if maxs else None
+        return p
+
+    def finalize(self) -> dict:
+        avg = self.total_length / self.value_count if self.value_count else 0.0
+        return {
+            "count": self.value_count + self.null_count,
+            "null_count": self.null_count,
+            "min_length": self.min_length,
+            "max_length": self.max_length,
+            "avg_length": avg,
+            "has_non_ascii": self.has_non_ascii,
+            "character_types": set(self.character_types),
+        }
+
+
+def profile_string_batch(values: pa.Array) -> StringPartial:
+    stripped = _strip(values)
+    p = StringPartial()
+    null_mask = pc.equal(pc.utf8_length(stripped), 0).to_numpy(zero_copy_only=False)
+    p.null_count = int(null_mask.sum())
+    vals = stripped.filter(pa.array(~null_mask))
+    if len(vals) == 0:
+        return p
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    p.value_count = int(len(vals))
+    p.min_length = int(lens.min())
+    p.max_length = int(lens.max())
+    p.total_length = int(lens.sum())
+    p.has_non_ascii = not pc.all(pc.string_is_ascii(vals)).as_py()
+    # character-class presence (profile.py:445-451); \p{L}/\p{Nd} match
+    # Python's unicode-aware isalpha()/isdigit() closely enough
+    for cls, pattern in (
+        ("alpha", r"\pL"),
+        ("digit", r"\d"),
+        ("space", r"\s"),
+        ("special", _SPECIAL_CLASS),
+    ):
+        if pc.any(pc.match_substring_regex(vals, pattern)).as_py():
+            p.character_types.add(cls)
+    return p

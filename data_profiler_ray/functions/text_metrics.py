@@ -31,6 +31,41 @@ import pyarrow.compute as pc
 _NON_PRINTABLE_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 _ALNUM_CLASS = "[0-9A-Za-z]"
 
+# Byte-membership tables for O(bytes) char-class counting. ASCII alnum
+# chars are single UTF-8 bytes and continuation bytes are >= 0x80, so
+# byte counts equal char counts for these classes (RE2 single-char-class
+# counting measured ~80x slower than this reduceat path).
+_ALNUM_BYTES = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _ALNUM_BYTES[_c] = chr(_c).isascii() and chr(_c).isalnum()
+_NONPRINT_BYTES = np.zeros(256, dtype=bool)
+for _c in list(range(0, 9)) + [11, 12] + list(range(14, 32)) + [127]:
+    _NONPRINT_BYTES[_c] = True
+
+
+def _count_byte_class(content: pa.Array, table: np.ndarray) -> np.ndarray:
+    """Per-row count of bytes whose class-table entry is True."""
+    binary = pc.cast(content, pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    n = len(binary)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    if buf is None or offsets[-1] == offsets[0]:
+        return np.zeros(n, dtype=np.int64)
+    data = np.frombuffer(buf, dtype=np.uint8)
+    # int32 scratch (not int64): fresh pages fault at ~8 MB/s here, so
+    # scratch bytes are the dominant cost. Row byte counts < 2^31 always.
+    hits = table[data].astype(np.int32)
+    starts = np.minimum(offsets[:-1], len(hits) - 1)
+    sums = np.add.reduceat(hits, starts).astype(np.int64)
+    sums[np.diff(offsets) == 0] = 0
+    return sums
+
 
 def sha256_hex(arr: pa.Array) -> pa.Array:
     """Per-row sha256 hex digest of a string/binary array.
@@ -212,16 +247,14 @@ def compute_text_metrics(batch: pa.Table, content_col: str = "content") -> pa.Ta
     sha = sha256_hex(content)
     n_chars = pc.cast(pc.utf8_length(content), pa.int64())
     n_bytes = pc.cast(pc.binary_length(pc.cast(content, pa.large_binary())), pa.int64())
-    alnum = pc.cast(pc.count_substring_regex(content, _ALNUM_CLASS), pa.float64())
-    alnum_ratio = pc.if_else(
-        pc.greater(n_chars, 0),
-        pc.divide(alnum, pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())),
-        pa.scalar(0.0),
+    n_chars_np = n_chars.to_numpy(zero_copy_only=False)
+    alnum_np = _count_byte_class(content, _ALNUM_BYTES).astype(np.float64)
+    alnum_ratio = pa.array(
+        np.where(n_chars_np > 0, alnum_np / np.maximum(n_chars_np, 1), 0.0),
+        pa.float64(),
     )
     non_ascii = pc.invert(pc.string_is_ascii(content))
-    non_printable = pc.cast(
-        pc.count_substring_regex(content, _NON_PRINTABLE_CLASS), pa.int64()
-    )
+    non_printable = pa.array(_count_byte_class(content, _NONPRINT_BYTES), pa.int64())
 
     le = line_ending_counts(content)
     lm = line_metrics(content)

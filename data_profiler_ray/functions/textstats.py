@@ -1,0 +1,126 @@
+"""Text-analysis functions: token counting, quality features, rolling-hash
+document fingerprints.
+
+Part of the "beyond the reference" training-data toolkit (task brief):
+language-ID lives in stages/scorers.py; here are the stateless vectorized
+pieces:
+
+- whitespace + BPE-ish regex token counts,
+- quality features (punctuation / digit / uppercase / stopword ratios,
+  mean token length) and a deterministic [0,1] quality score,
+- winnowing document fingerprints (Schleimer et al. 2003) for
+  plagiarism-style containment detection.
+
+All char-class ratios use O(bytes) byte-table counting (ASCII classes:
+byte count == char count; see text_metrics._count_byte_class).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text_metrics import _count_byte_class
+
+# ASCII punctuation, matching RE2/POSIX [[:punct:]]
+_PUNCT_BYTES = np.zeros(256, dtype=bool)
+for _c in r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""":
+    _PUNCT_BYTES[ord(_c)] = True
+_DIGIT_BYTES = np.zeros(256, dtype=bool)
+for _c in range(48, 58):
+    _DIGIT_BYTES[_c] = True
+_UPPER_BYTES = np.zeros(256, dtype=bool)
+for _c in range(65, 91):
+    _UPPER_BYTES[_c] = True
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+STOPWORD_RE = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+
+
+def token_counts(content: pa.Array) -> dict[str, np.ndarray]:
+    """Whitespace tokens + BPE-ish regex tokens per row."""
+    content = pc.fill_null(content, "")
+    ws = pc.count_substring_regex(content, r"\S+").to_numpy(zero_copy_only=False)
+    bpe = pc.count_substring_regex(content, BPE_TOKEN_RE).to_numpy(zero_copy_only=False)
+    return {"n_tokens_ws": ws.astype(np.int64), "n_tokens_bpe": bpe.astype(np.int64)}
+
+
+def quality_features(batch: pa.Table, content_col: str = "text") -> pa.Table:
+    """Append token counts, char-class ratios, stopword ratio and a
+    deterministic quality score in [0, 1].
+
+    score = 0.25*len_score + 0.25*(1-punct_excess) + 0.25*stopword_score
+          + 0.25*(1-digit_excess), each component clamped to [0,1]:
+    - len_score: min(n_tokens_ws / 20, 1)
+    - punct_excess: max(0, punct_ratio - 0.2) / 0.8
+    - stopword_score: min(stopword_ratio / 0.1, 1)  (natural text has
+      ~10%+ stopwords)
+    - digit_excess: max(0, digit_ratio - 0.3) / 0.7
+    """
+    content = batch[content_col]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    content = pc.fill_null(content, "")
+
+    n_chars = pc.utf8_length(content).to_numpy(zero_copy_only=False).astype(np.float64)
+    denom = np.maximum(n_chars, 1.0)
+    toks = token_counts(content)
+    punct = _count_byte_class(content, _PUNCT_BYTES) / denom
+    digit = _count_byte_class(content, _DIGIT_BYTES) / denom
+    upper = _count_byte_class(content, _UPPER_BYTES) / denom
+    stop = pc.count_substring_regex(content, STOPWORD_RE).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    stop_ratio = stop / np.maximum(toks["n_tokens_ws"], 1)
+
+    len_score = np.minimum(toks["n_tokens_ws"] / 20.0, 1.0)
+    punct_excess = np.maximum(0.0, punct - 0.2) / 0.8
+    stop_score = np.minimum(stop_ratio / 0.1, 1.0)
+    digit_excess = np.maximum(0.0, digit - 0.3) / 0.7
+    score = 0.25 * (len_score + (1 - punct_excess) + stop_score + (1 - digit_excess))
+
+    out = batch
+    out = out.append_column("n_tokens_ws", pa.array(toks["n_tokens_ws"]))
+    out = out.append_column("n_tokens_bpe", pa.array(toks["n_tokens_bpe"]))
+    out = out.append_column("punct_ratio", pa.array(punct, pa.float64()))
+    out = out.append_column("digit_ratio", pa.array(digit, pa.float64()))
+    out = out.append_column("upper_ratio", pa.array(upper, pa.float64()))
+    out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+    out = out.append_column("quality_score", pa.array(score, pa.float64()))
+    return out
+
+
+def winnowing_fingerprints(
+    text: str, *, k: int = 8, window: int = 4
+) -> np.ndarray:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD 2003): min hash
+    in each sliding window over k-gram rolling hashes; robust local
+    document fingerprints for containment/overlap detection."""
+    b = text.encode("utf-8", "ignore")
+    if len(b) < k:
+        return np.zeros(0, dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - k + 1
+    base = np.uint64(1099511628211)
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            acc = acc * base + arr[i : i + n]
+    if n <= window:
+        return np.unique(acc.min(keepdims=True))
+    # sliding-window minimum via stride tricks
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(acc, window).min(axis=1)
+    return np.unique(mins)
+
+
+def fingerprint_overlap(a: str, b: str, **kw) -> float:
+    """Containment of a's fingerprints in b's (plagiarism-style)."""
+    fa, fb = winnowing_fingerprints(a, **kw), winnowing_fingerprints(b, **kw)
+    if len(fa) == 0:
+        return 0.0
+    return float(np.isin(fa, fb).mean())

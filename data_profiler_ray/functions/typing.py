@@ -1,0 +1,377 @@
+"""Vectorized 8-type column classifier with the reference's exact semantics.
+
+Re-implements the decision logic of ``TypeInferrer``
+(``/root/reference/api/services/types.py:72-622``) as pure Arrow/numpy
+batch kernels producing mergeable partial states:
+
+- per-value detection priority (``types.py:271-301``): date BEFORE numeric
+  (dates like 20221109 match the numeric pattern), then money, money-like-
+  with-violations, numeric, numeric-like-with-violations, alpha;
+- date formats tried in preference order with strptime-equivalent calendar
+  validation (``types.py:86-92,481-502``), YYYYMMDD first;
+- column decision tree (``types.py:247-390``): 0.66 confidence threshold,
+  20% mixed sub-threshold, money-vs-numeric disambiguation via explicit
+  violations ($ , parens) and wrong decimal counts
+  (``types.py:333-372,552-590``);
+- code type: cardinality <= 0.50, or <= 50 distinct with >= 50 rows,
+  minimum 6 values (``types.py:95-98,504-533``).
+
+Null semantics: empty string after strip => null (``types.py:133-135``).
+
+Deviation (documented): the reference votes over at most the first 100
+non-null values per column (``types.py:141,219``); this engine votes over
+ALL values by default (vectorized, no reason to sample) — identical on
+the reference's unit fixtures (< 100 values). A second deviation: in the
+reference, a column whose only pattern-matching values are numeric/money
+but below the 0.66 combined threshold falls off the end of
+``_detect_type`` and returns ``None`` (``types.py:334-372`` has no else);
+we map that case to ``varchar``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NUMERIC_RE = r"^[0-9]+(\.[0-9]+)?$"          # types.py:81
+MONEY_RE = r"^[0-9]+\.[0-9]{2}$"             # types.py:82
+ALPHA_RE = r"^[a-zA-Z]+$"                    # types.py:83
+WRONG_DECIMALS_RE = r"^[0-9]+\.([0-9]|[0-9]{3,})$"  # numeric, '.' present, decimals not in {0,2}
+EXPLICIT_VIOLATION_RE = r"[$,()]"
+
+# (regex, name, (y_slice, m_slice, d_slice)) in preference order, types.py:86-92
+DATE_FORMATS: list[tuple[str, str, tuple[tuple[int, int], tuple[int, int], tuple[int, int]]]] = [
+    (r"^\d{8}$", "YYYYMMDD", ((0, 4), (4, 6), (6, 8))),
+    (r"^\d{4}-\d{2}-\d{2}$", "YYYY-MM-DD", ((0, 4), (5, 7), (8, 10))),
+    (r"^\d{4}/\d{2}/\d{2}$", "YYYY/MM/DD", ((0, 4), (5, 7), (8, 10))),
+    (r"^\d{2}/\d{2}/\d{4}$", "MM/DD/YYYY", ((6, 10), (0, 2), (3, 5))),
+    (r"^\d{2}-\d{2}-\d{4}$", "MM-DD-YYYY", ((6, 10), (0, 2), (3, 5))),
+]
+
+_DAYS_IN_MONTH = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+
+
+def _valid_ymd(y: np.ndarray, m: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """strptime-equivalent calendar validity (year 1..9999, real days)."""
+    ok = (y >= 1) & (m >= 1) & (m <= 12) & (d >= 1)
+    mm = np.clip(m, 1, 12)
+    dim = _DAYS_IN_MONTH[mm]
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    dim = dim + ((mm == 2) & leap)
+    return ok & (d <= dim)
+
+
+def _slice_int(arr: pa.Array, lo: int, hi: int) -> np.ndarray:
+    return (
+        pc.cast(pc.utf8_slice_codeunits(arr, lo, hi), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def date_format_codes(values: pa.Array) -> np.ndarray:
+    """Per-value index into DATE_FORMATS of the FIRST valid format, -1 if
+    none. Invalid calendar dates fall through to the next pattern, exactly
+    like the reference's try/continue loop (``types.py:493-502``)."""
+    n = len(values)
+    codes = np.full(n, -1, dtype=np.int8)
+    undecided = np.ones(n, dtype=bool)
+    for fi, (regex, _name, (ys, ms, ds_)) in enumerate(DATE_FORMATS):
+        rx = pc.match_substring_regex(values, regex).to_numpy(zero_copy_only=False)
+        cand = undecided & rx
+        if not cand.any():
+            continue
+        idx = np.flatnonzero(cand)
+        sub = values.take(pa.array(idx))
+        y = _slice_int(sub, *ys)
+        m = _slice_int(sub, *ms)
+        d = _slice_int(sub, *ds_)
+        ok = _valid_ymd(y, m, d)
+        codes[idx[ok]] = fi
+        undecided[idx[ok]] = False
+    return codes
+
+
+@dataclass
+class TypePartial:
+    """Mergeable per-batch type-inference state for one column."""
+
+    n_total: int = 0
+    n_null: int = 0
+    # prioritized vote counts (types.py:271-301 continue-chain)
+    vote_date: int = 0
+    vote_money: int = 0       # money + money-like-with-violations
+    vote_numeric: int = 0     # numeric + numeric-like-with-violations
+    vote_alpha: int = 0
+    # independent predicate counts (for confidence, types.py:624-667)
+    any_numeric: int = 0
+    any_money: int = 0
+    any_date: int = 0
+    any_alpha: int = 0
+    any_numeric_viol: int = 0
+    any_money_viol: int = 0
+    any_other: int = 0        # not numeric/money/date (varchar-confidence)
+    fmt_counts: np.ndarray = field(default_factory=lambda: np.zeros(len(DATE_FORMATS), dtype=np.int64))
+    has_explicit_violation: bool = False
+    has_wrong_decimals: bool = False
+    money_violations: int = 0
+    numeric_violations: int = 0
+
+    def merge(self, other: "TypePartial") -> "TypePartial":
+        out = TypePartial()
+        for f in (
+            "n_total n_null vote_date vote_money vote_numeric vote_alpha "
+            "any_numeric any_money any_date any_alpha any_numeric_viol "
+            "any_money_viol any_other money_violations numeric_violations"
+        ).split():
+            setattr(out, f, getattr(self, f) + getattr(other, f))
+        out.fmt_counts = self.fmt_counts + other.fmt_counts
+        out.has_explicit_violation = self.has_explicit_violation or other.has_explicit_violation
+        out.has_wrong_decimals = self.has_wrong_decimals or other.has_wrong_decimals
+        return out
+
+    def to_row(self) -> dict:
+        d = {
+            f: int(getattr(self, f))
+            for f in (
+                "n_total n_null vote_date vote_money vote_numeric vote_alpha "
+                "any_numeric any_money any_date any_alpha any_numeric_viol "
+                "any_money_viol any_other money_violations numeric_violations"
+            ).split()
+        }
+        for i in range(len(DATE_FORMATS)):
+            d[f"fmt_{i}"] = int(self.fmt_counts[i])
+        d["has_explicit_violation"] = bool(self.has_explicit_violation)
+        d["has_wrong_decimals"] = bool(self.has_wrong_decimals)
+        return d
+
+    @staticmethod
+    def from_row(row: dict) -> "TypePartial":
+        p = TypePartial()
+        for f in (
+            "n_total n_null vote_date vote_money vote_numeric vote_alpha "
+            "any_numeric any_money any_date any_alpha any_numeric_viol "
+            "any_money_viol any_other money_violations numeric_violations"
+        ).split():
+            setattr(p, f, int(row[f]))
+        p.fmt_counts = np.array(
+            [int(row[f"fmt_{i}"]) for i in range(len(DATE_FORMATS))], dtype=np.int64
+        )
+        p.has_explicit_violation = bool(row["has_explicit_violation"])
+        p.has_wrong_decimals = bool(row["has_wrong_decimals"])
+        return p
+
+
+def classify_batch(values: pa.Array) -> TypePartial:
+    """Vectorized per-batch classification of one column's string values."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = pc.fill_null(pc.cast(values, pa.string()), "")
+    stripped = pc.utf8_trim_whitespace(values)
+    n = len(stripped)
+    p = TypePartial(n_total=n)
+
+    null_mask = pc.equal(pc.utf8_length(stripped), 0).to_numpy(zero_copy_only=False)
+    p.n_null = int(null_mask.sum())
+    nonnull = ~null_mask
+    if not nonnull.any():
+        return p
+    vals = stripped.filter(pa.array(nonnull))
+
+    def rxmask(pattern: str) -> np.ndarray:
+        return pc.match_substring_regex(vals, pattern).to_numpy(zero_copy_only=False)
+
+    is_numeric = rxmask(NUMERIC_RE)
+    is_money = rxmask(MONEY_RE)
+    is_alpha = rxmask(ALPHA_RE)
+    has_symbols = rxmask(EXPLICIT_VIOLATION_RE)
+
+    # cleaned = value with $ , ( ) removed, then stripped (types.py:445,473)
+    cleaned = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(vals, r"[$,()]", "")
+    )
+    cleaned_nonempty = pc.greater(pc.utf8_length(cleaned), 0).to_numpy(zero_copy_only=False)
+    cleaned_numeric = pc.match_substring_regex(cleaned, NUMERIC_RE).to_numpy(zero_copy_only=False)
+    cleaned_money = pc.match_substring_regex(cleaned, MONEY_RE).to_numpy(zero_copy_only=False)
+    cleaned_has_dot = pc.match_substring_regex(cleaned, r"\.").to_numpy(zero_copy_only=False)
+
+    # _is_numeric_like_with_violations (types.py:432-451): cleaned numeric
+    numeric_viol = cleaned_nonempty & cleaned_numeric
+    # _is_money_like_with_violations (types.py:453-479): NEEDS a symbol,
+    # cleaned is money OR (numeric AND has '.')
+    money_viol = has_symbols & cleaned_nonempty & (
+        cleaned_money | (cleaned_numeric & cleaned_has_dot)
+    )
+
+    fmt_codes = date_format_codes(vals)
+    is_date = fmt_codes >= 0
+
+    # prioritized continue-chain votes (types.py:271-301)
+    rest = ~is_date
+    vote_money_exact = rest & is_money
+    rest = rest & ~vote_money_exact
+    vote_money_viol = rest & money_viol
+    rest = rest & ~vote_money_viol
+    vote_numeric_exact = rest & is_numeric
+    rest = rest & ~vote_numeric_exact
+    vote_numeric_viol = rest & numeric_viol
+    rest = rest & ~vote_numeric_viol
+    vote_alpha = rest & is_alpha
+
+    p.vote_date = int(is_date.sum())
+    p.vote_money = int((vote_money_exact | vote_money_viol).sum())
+    p.vote_numeric = int((vote_numeric_exact | vote_numeric_viol).sum())
+    p.vote_alpha = int(vote_alpha.sum())
+
+    p.any_numeric = int(is_numeric.sum())
+    p.any_money = int(is_money.sum())
+    p.any_date = int(is_date.sum())
+    p.any_alpha = int(is_alpha.sum())
+    p.any_numeric_viol = int(numeric_viol.sum())
+    p.any_money_viol = int(money_viol.sum())
+    p.any_other = int((~(is_numeric | is_money | is_date)).sum())
+
+    p.fmt_counts = np.bincount(
+        fmt_codes[is_date].astype(np.int64), minlength=len(DATE_FORMATS)
+    ).astype(np.int64)
+    p.has_explicit_violation = bool(has_symbols.any())
+    # wrong decimal counts among plain-numeric values (types.py:569-590)
+    wrong_dec = is_numeric & rxmask(WRONG_DECIMALS_RE)
+    p.has_wrong_decimals = bool(wrong_dec.any())
+
+    # _count_money_violations (types.py:592-622): symbols OR (numeric and
+    # not money) OR not numeric at all — i.e. NOT (money exactly)
+    p.money_violations = int((has_symbols | (is_numeric & ~is_money) | ~is_numeric).sum())
+    # _count_numeric_violations (types.py:535-550): symbols present
+    p.numeric_violations = int(has_symbols.sum())
+    return p
+
+
+def decide_column_type(
+    p: TypePartial, distinct_count: int
+) -> dict:
+    """The _detect_type decision tree (types.py:247-390) over merged
+    partials + the column's exact distinct count.
+
+    Returns dict(inferred_type, detected_format, error_count,
+    warning_count, confidence, cardinality_ratio, null_count, total_count).
+    """
+    total = p.n_total - p.n_null  # number of non-null sample values
+    total_count = p.n_total
+    cardinality = distinct_count / total_count if total_count > 0 else 0.0
+
+    out = {
+        "inferred_type": "unknown",
+        "detected_format": None,
+        "error_count": 0,
+        "warning_count": 0,
+        "confidence": 0.0,
+        "cardinality_ratio": cardinality,
+        "null_count": p.n_null,
+        "total_count": total_count,
+    }
+    if total == 0:
+        return out
+
+    THRESHOLD = 0.66
+    votes = {
+        "numeric": p.vote_numeric,
+        "money": p.vote_money,
+        "date": p.vote_date,
+        "alpha": p.vote_alpha,
+    }
+    max_matches = max(votes.values())
+    confidence = max_matches / total
+
+    def is_code() -> bool:  # types.py:504-533
+        if total_count < 6:
+            return False
+        if cardinality <= 0.50:
+            return True
+        return distinct_count <= 50 and total_count >= 50
+
+    inferred: str | None = None
+    if confidence < THRESHOLD:
+        above = [t for t, c in votes.items() if c / total >= 0.20]
+        if len(above) > 1:
+            inferred = "mixed"
+
+    if inferred is None:
+        if votes["date"] / total >= THRESHOLD:
+            nz = p.fmt_counts > 0
+            if nz.any():
+                modal = int(np.argmax(p.fmt_counts))
+                out["detected_format"] = DATE_FORMATS[modal][1]
+                if nz.sum() > 1:
+                    out["warning_count"] = int(p.fmt_counts.sum() - p.fmt_counts[modal])
+            inferred = "date"
+        elif votes["money"] > 0 or votes["numeric"] > 0:
+            combined = votes["money"] + votes["numeric"]
+            if combined / total >= THRESHOLD:
+                money_ratio = votes["money"] / total
+                if money_ratio >= THRESHOLD:
+                    out["error_count"] = p.money_violations
+                    inferred = "money"
+                elif votes["money"] > 0:
+                    if p.has_explicit_violation or p.has_wrong_decimals:
+                        out["error_count"] = p.money_violations
+                        inferred = "mixed" if votes["numeric"] > 0 else "money"
+                    else:
+                        out["error_count"] = p.numeric_violations
+                        inferred = "numeric"
+                else:
+                    out["error_count"] = p.numeric_violations
+                    inferred = "numeric"
+            else:
+                # reference falls off the end of _detect_type here (returns
+                # None); we map to varchar — see module docstring.
+                inferred = "varchar"
+        elif votes["alpha"] / total >= THRESHOLD:
+            inferred = "code" if is_code() else "alpha"
+        else:
+            if is_code():
+                inferred = "code"
+            elif max_matches > 0 or total > 0:
+                inferred = "varchar"
+            else:
+                inferred = "unknown"
+
+    out["inferred_type"] = inferred
+
+    # confidence re-scan (types.py:624-667) from independent counts
+    if inferred == "numeric":
+        # union of _is_numeric and _is_numeric_like_with_violations; plain
+        # numerics satisfy the latter (cleaned == value), so any_numeric_viol
+        # IS the union.
+        conf = p.any_numeric_viol / total
+    elif inferred == "money":
+        # union of is_money and money_viol (disjoint: money_viol requires
+        # symbols, is_money forbids them)
+        conf = (p.any_money + p.any_money_viol) / total
+    elif inferred == "date":
+        conf = p.any_date / total
+    elif inferred == "alpha":
+        conf = p.any_alpha / total
+    elif inferred in ("varchar", "code"):
+        conf = p.any_other / total
+    elif inferred == "mixed":
+        conf = 0.6
+    else:
+        conf = 0.0
+    out["confidence"] = float(conf)
+    return out
+
+
+def infer_type(values: list[str | None]) -> dict:
+    """Reference-convenience API: classify a list of values directly
+    (parity with ``TypeInferrer.infer_type``, types.py:111-170).
+    Distinct counting here is exact in-memory (test-scale helper)."""
+    arr = pa.array([v if v is not None else "" for v in values], pa.string())
+    p = classify_batch(arr)
+    stripped = pc.utf8_trim_whitespace(pc.fill_null(arr, ""))
+    nonnull = pc.filter(stripped, pc.greater(pc.utf8_length(stripped), 0))
+    distinct = len(set(nonnull.to_pylist()))
+    return decide_column_type(p, distinct)

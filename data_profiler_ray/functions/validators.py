@@ -1,0 +1,439 @@
+"""Money and date validators as vectorized, mergeable partial states.
+
+Reference semantics:
+
+- ``MoneyValidator`` (``/root/reference/api/services/profile.py:483-673``):
+  valid = ``^\\d+\\.\\d{2}$`` after strip; violations categorized as
+  dollar_sign / comma / parentheses (NOT mutually exclusive) and
+  wrong_decimals; <=3 examples per category; min/max over valid values.
+  Note: ``validate_column`` strips each value before validating
+  (profile.py:603), so the whitespace-invalidates rule of bare
+  ``is_valid`` (profile.py:529-534) applies only to the single-value API.
+- ``DateValidator`` (``profile.py:680-998``): two-phase — detect the
+  modal format (6 patterns + ambiguous DD/MM/YYYY), then validate every
+  value against it; out-of-range years (<1900 or >current+1), min/max,
+  span_days, distributions by month / year / day-of-week,
+  format-consistency flag.
+
+Deviations (documented):
+- violation/warning *examples* are "first k per partial, merged in
+  partition order" — the reference's "first 3 in file order" is not
+  meaningful without a global order (SURVEY.md §7.4: any-k).
+- DD/MM/YYYY ambiguity: the reference counts a DD/MM-parseable value only
+  if no MM/DD value has been counted YET (profile.py:851-860 — iteration-
+  order dependent). Order-independent rule here: DD/MM is counted only
+  when the column contains NO MM/DD-valid values at all.
+- ``valid_values`` (profile.py:97: every valid money string retained) is
+  not materialized — only count/min/max; a 10^12-row column cannot keep
+  its values in a result object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MONEY_RE = r"^[0-9]+\.[0-9]{2}$"
+NUMERIC_RE = r"^[0-9]+(\.[0-9]+)?$"
+
+
+def _strip(values: pa.Array) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pc.utf8_trim_whitespace(pc.fill_null(pc.cast(values, pa.string()), ""))
+
+
+# ---------------------------------------------------------------------------
+# Money
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MoneyPartial:
+    total_count: int = 0
+    valid_count: int = 0
+    invalid_count: int = 0
+    null_count: int = 0
+    two_decimal_ok: bool = True
+    disallowed_symbols_found: bool = False
+    violations_by_type: dict = field(default_factory=dict)
+    violation_examples: dict = field(default_factory=dict)
+    min_value: float | None = None
+    max_value: float | None = None
+
+    def merge(self, o: "MoneyPartial") -> "MoneyPartial":
+        m = MoneyPartial(
+            total_count=self.total_count + o.total_count,
+            valid_count=self.valid_count + o.valid_count,
+            invalid_count=self.invalid_count + o.invalid_count,
+            null_count=self.null_count + o.null_count,
+            two_decimal_ok=self.two_decimal_ok and o.two_decimal_ok,
+            disallowed_symbols_found=self.disallowed_symbols_found
+            or o.disallowed_symbols_found,
+        )
+        for d in (self.violations_by_type, o.violations_by_type):
+            for k, v in d.items():
+                m.violations_by_type[k] = m.violations_by_type.get(k, 0) + v
+        for d in (self.violation_examples, o.violation_examples):
+            for k, v in d.items():
+                cur = m.violation_examples.setdefault(k, [])
+                cur.extend(x for x in v if len(cur) < 3)
+        mins = [x for x in (self.min_value, o.min_value) if x is not None]
+        maxs = [x for x in (self.max_value, o.max_value) if x is not None]
+        m.min_value = min(mins) if mins else None
+        m.max_value = max(maxs) if maxs else None
+        return m
+
+    def to_result(self) -> dict:
+        total = self.total_count if self.total_count else 1
+        return {
+            "total_count": self.total_count,
+            "valid_count": self.valid_count,
+            "invalid_count": self.invalid_count,
+            "null_count": self.null_count,
+            "two_decimal_ok": self.two_decimal_ok,
+            "disallowed_symbols_found": self.disallowed_symbols_found,
+            "violations_by_type": dict(self.violations_by_type),
+            "violation_examples": {k: list(v) for k, v in self.violation_examples.items()},
+            "min_value": self.min_value,
+            "max_value": self.max_value,
+            "valid_pct": (self.valid_count / total) * 100.0,
+        }
+
+
+def validate_money_batch(values: pa.Array) -> MoneyPartial:
+    """Vectorized MoneyValidator.validate_column over one batch."""
+    stripped = _strip(values)
+    n = len(stripped)
+    p = MoneyPartial(total_count=n)
+
+    null_mask = pc.equal(pc.utf8_length(stripped), 0).to_numpy(zero_copy_only=False)
+    p.null_count = int(null_mask.sum())
+    nonnull_idx = np.flatnonzero(~null_mask)
+    if len(nonnull_idx) == 0:
+        return p
+    vals = stripped.take(pa.array(nonnull_idx))
+
+    def rx(pattern):
+        return pc.match_substring_regex(vals, pattern).to_numpy(zero_copy_only=False)
+
+    valid = rx(MONEY_RE)
+    p.valid_count = int(valid.sum())
+    p.invalid_count = int((~valid).sum())
+
+    if valid.any():
+        valid_vals = pc.cast(
+            vals.filter(pa.array(valid)), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        p.min_value = float(valid_vals.min())
+        p.max_value = float(valid_vals.max())
+
+    inv = ~valid
+    if inv.any():
+        has_dollar = rx(r"\$") & inv
+        has_comma = rx(",") & inv
+        has_paren = rx(r"[()]") & inv
+        has_dot = rx(r"\.") & inv
+        # wrong decimals: '.' present, cleaned splits into 2 parts with
+        # fractional length != 2 (profile.py:631-640)
+        cleaned = pc.replace_substring_regex(vals, r"[$,()]", "")
+        wrong_dec_dot = (
+            pc.match_substring_regex(cleaned, r"^[^.]*\.[^.]*$").to_numpy(zero_copy_only=False)
+            & ~pc.match_substring_regex(cleaned, r"^[^.]*\.[^.]{2}$").to_numpy(zero_copy_only=False)
+            & has_dot
+        )
+        no_dot = inv & ~has_dot  # no decimal at all (profile.py:641-644)
+        wrong_dec = wrong_dec_dot | no_dot
+
+        vals_np = None
+        for name, mask in (
+            ("dollar_sign", has_dollar),
+            ("comma", has_comma),
+            ("parentheses", has_paren),
+            ("wrong_decimals", wrong_dec),
+        ):
+            cnt = int(mask.sum())
+            if cnt:
+                p.violations_by_type[name] = cnt
+                if vals_np is None:
+                    vals_np = np.asarray(vals.to_pandas(), dtype=object)
+                p.violation_examples[name] = list(vals_np[mask][:3])
+                if name in ("dollar_sign", "comma", "parentheses"):
+                    p.disallowed_symbols_found = True
+                else:
+                    p.two_decimal_ok = False
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Date
+# ---------------------------------------------------------------------------
+
+# (regex, name, (y,m,d) slices, has_time) — profile.py:689-696 order
+DATE_FORMATS_FULL = [
+    (r"^\d{8}$", "YYYYMMDD", ((0, 4), (4, 6), (6, 8)), False),
+    (r"^\d{4}-\d{2}-\d{2}$", "YYYY-MM-DD", ((0, 4), (5, 7), (8, 10)), False),
+    (r"^\d{4}/\d{2}/\d{2}$", "YYYY/MM/DD", ((0, 4), (5, 7), (8, 10)), False),
+    (r"^\d{2}/\d{2}/\d{4}$", "MM/DD/YYYY", ((6, 10), (0, 2), (3, 5)), False),
+    (r"^\d{2}-\d{2}-\d{4}$", "MM-DD-YYYY", ((6, 10), (0, 2), (3, 5)), False),
+    (
+        r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$",
+        "YYYY-MM-DD HH:MM:SS",
+        ((0, 4), (5, 7), (8, 10)),
+        True,
+    ),
+]
+DDMM_FORMAT = (r"^\d{2}/\d{2}/\d{4}$", "DD/MM/YYYY", ((6, 10), (3, 5), (0, 2)), False)
+
+_DAYS_IN_MONTH = np.array([0, 31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31])
+
+
+def _valid_ymd(y, m, d):
+    ok = (y >= 1) & (m >= 1) & (m <= 12) & (d >= 1)
+    mm = np.clip(m, 1, 12)
+    dim = _DAYS_IN_MONTH[mm] + ((mm == 2) & (((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)))
+    return ok & (d <= dim)
+
+
+def _parse_format(vals: pa.Array, fmt) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Return (valid_mask, y, m, d) for one format over stripped values."""
+    regex, _name, (ys, ms, ds_), has_time = fmt
+    n = len(vals)
+    mask = pc.match_substring_regex(vals, regex).to_numpy(zero_copy_only=False)
+    y = np.zeros(n, dtype=np.int64)
+    m = np.zeros(n, dtype=np.int64)
+    d = np.zeros(n, dtype=np.int64)
+    if not mask.any():
+        return mask & False, y, m, d
+    idx = np.flatnonzero(mask)
+    sub = vals.take(pa.array(idx))
+
+    def sl(lo, hi):
+        return (
+            pc.cast(pc.utf8_slice_codeunits(sub, lo, hi), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    yy, mm_, dd = sl(*ys), sl(*ms), sl(*ds_)
+    ok = _valid_ymd(yy, mm_, dd)
+    if has_time:
+        hh, mi, ss = sl(11, 13), sl(14, 16), sl(17, 19)
+        ok &= (hh <= 23) & (mi <= 59) & (ss <= 61)  # strptime %S accepts 0-61
+    valid = np.zeros(n, dtype=bool)
+    valid[idx[ok]] = True
+    y[idx], m[idx], d[idx] = yy, mm_, dd
+    return valid, y, m, d
+
+
+@dataclass
+class DateDetectPartial:
+    fmt_counts: np.ndarray = field(
+        default_factory=lambda: np.zeros(len(DATE_FORMATS_FULL), dtype=np.int64)
+    )
+    ddmm_only_count: int = 0  # valid as DD/MM but NOT counted as MM/DD
+    null_count: int = 0
+
+    def merge(self, o):
+        p = DateDetectPartial()
+        p.fmt_counts = self.fmt_counts + o.fmt_counts
+        p.ddmm_only_count = self.ddmm_only_count + o.ddmm_only_count
+        p.null_count = self.null_count + o.null_count
+        return p
+
+
+def detect_date_format_batch(values: pa.Array) -> DateDetectPartial:
+    stripped = _strip(values)
+    p = DateDetectPartial()
+    null_mask = pc.equal(pc.utf8_length(stripped), 0).to_numpy(zero_copy_only=False)
+    p.null_count = int(null_mask.sum())
+    idx = np.flatnonzero(~null_mask)
+    if len(idx) == 0:
+        return p
+    vals = stripped.take(pa.array(idx))
+    undecided = np.ones(len(vals), dtype=bool)
+    for fi, fmt in enumerate(DATE_FORMATS_FULL):
+        valid, *_ = _parse_format(vals, fmt)
+        hit = undecided & valid
+        p.fmt_counts[fi] = int(hit.sum())
+        undecided &= ~hit
+    ddmm_valid, *_ = _parse_format(vals, DDMM_FORMAT)
+    # values valid as DD/MM that were NOT counted by the main loop
+    p.ddmm_only_count = int((ddmm_valid & undecided).sum())
+    return p
+
+
+def finalize_date_detection(p: DateDetectPartial) -> dict:
+    """FormatDetectionResult (profile.py:821-887), order-independent
+    DD/MM handling per module docstring."""
+    names = [f[1] for f in DATE_FORMATS_FULL]
+    counts = {n: int(c) for n, c in zip(names, p.fmt_counts) if c > 0}
+    mmdd = counts.get("MM/DD/YYYY", 0)
+    if p.ddmm_only_count and mmdd == 0:
+        counts["DD/MM/YYYY"] = p.ddmm_only_count
+    if not counts:
+        return {
+            "detected_format": None,
+            "confidence": 0.0,
+            "null_count": p.null_count,
+            "has_ambiguity": False,
+        }
+    # most_common(1) tie-break: first in insertion (preference) order
+    best = max(counts.items(), key=lambda kv: kv[1])
+    total = sum(counts.values())
+    has_ambiguity = (
+        "MM/DD/YYYY" in counts or "DD/MM/YYYY" in counts or len(counts) > 1
+    )
+    return {
+        "detected_format": best[0],
+        "confidence": best[1] / total,
+        "null_count": p.null_count,
+        "has_ambiguity": has_ambiguity,
+    }
+
+
+@dataclass
+class DateValidatePartial:
+    count: int = 0
+    null_count: int = 0
+    valid_count: int = 0
+    invalid_count: int = 0
+    out_of_range_count: int = 0
+    min_ymd: int | None = None  # yyyymmdd int
+    max_ymd: int | None = None
+    by_month: dict = field(default_factory=dict)
+    by_year: dict = field(default_factory=dict)
+    by_dow: dict = field(default_factory=dict)
+    other_formats: dict = field(default_factory=dict)  # formats of invalid values
+    warnings: list = field(default_factory=list)
+
+    def merge(self, o):
+        p = DateValidatePartial(
+            count=self.count + o.count,
+            null_count=self.null_count + o.null_count,
+            valid_count=self.valid_count + o.valid_count,
+            invalid_count=self.invalid_count + o.invalid_count,
+            out_of_range_count=self.out_of_range_count + o.out_of_range_count,
+        )
+        mins = [x for x in (self.min_ymd, o.min_ymd) if x is not None]
+        maxs = [x for x in (self.max_ymd, o.max_ymd) if x is not None]
+        p.min_ymd = min(mins) if mins else None
+        p.max_ymd = max(maxs) if maxs else None
+        for name in ("by_month", "by_year", "by_dow", "other_formats"):
+            tgt = getattr(p, name)
+            for src in (getattr(self, name), getattr(o, name)):
+                for k, v in src.items():
+                    tgt[k] = tgt.get(k, 0) + v
+        p.warnings = (self.warnings + o.warnings)[:20]
+        return p
+
+
+def validate_dates_batch(
+    values: pa.Array,
+    detected_format: str,
+    min_year: int = 1900,
+    max_year: int | None = None,
+) -> DateValidatePartial:
+    """DateValidator.validate_column per-batch partial (profile.py:889-998)."""
+    if max_year is None:
+        max_year = pd.Timestamp.now().year + 1
+    stripped = _strip(values)
+    p = DateValidatePartial(count=len(stripped))
+    null_mask = pc.equal(pc.utf8_length(stripped), 0).to_numpy(zero_copy_only=False)
+    p.null_count = int(null_mask.sum())
+    idx = np.flatnonzero(~null_mask)
+    if len(idx) == 0:
+        return p
+    vals = stripped.take(pa.array(idx))
+
+    fmt = next(
+        (f for f in DATE_FORMATS_FULL if f[1] == detected_format),
+        DDMM_FORMAT if detected_format == "DD/MM/YYYY" else None,
+    )
+    if fmt is None:
+        p.invalid_count = len(idx)
+        return p
+
+    valid, y, m, d = _parse_format(vals, fmt)
+    p.valid_count = int(valid.sum())
+    p.invalid_count = int((~valid).sum())
+
+    if valid.any():
+        yv, mv, dv = y[valid], m[valid], d[valid]
+        ymd = yv * 10000 + mv * 100 + dv
+        p.min_ymd = int(ymd.min())
+        p.max_ymd = int(ymd.max())
+        oor_low = yv < min_year
+        oor_high = yv > max_year
+        p.out_of_range_count = int((oor_low | oor_high).sum())
+        vals_np = np.asarray(vals.to_pandas(), dtype=object)[valid]
+        for v in vals_np[oor_low][:3]:
+            p.warnings.append(f"Date {v} has year < {min_year}")
+        for v in vals_np[oor_high][:3]:
+            p.warnings.append(f"Date {v} has year > {max_year}")
+        # distributions (profile.py:948-955)
+        months, mcnt = np.unique(yv * 100 + mv, return_counts=True)
+        for k, c in zip(months, mcnt):
+            key = f"{k // 100:04d}-{k % 100:02d}"
+            p.by_month[key] = p.by_month.get(key, 0) + int(c)
+        years, ycnt = np.unique(yv, return_counts=True)
+        for k, c in zip(years, ycnt):
+            p.by_year[str(int(k))] = p.by_year.get(str(int(k)), 0) + int(c)
+        # day of week via the proleptic Gregorian day number
+        ts = pd.to_datetime(
+            pd.DataFrame({"year": yv, "month": mv, "day": dv}), errors="coerce"
+        )
+        dows = ts.dt.day_name()
+        for k, c in dows.value_counts().items():
+            p.by_dow[k] = p.by_dow.get(k, 0) + int(c)
+
+    # formats of invalid values, for format_consistent (profile.py:960-971)
+    if (~valid).any():
+        inv_vals = vals.filter(pa.array(~valid))
+        undecided = np.ones(len(inv_vals), dtype=bool)
+        for f in DATE_FORMATS_FULL:
+            fvalid, *_ = _parse_format(inv_vals, f)
+            hit = undecided & fvalid
+            if hit.any():
+                p.other_formats[f[1]] = p.other_formats.get(f[1], 0) + int(hit.sum())
+                undecided &= ~hit
+    return p
+
+
+def finalize_date_stats(
+    p: DateValidatePartial, detection: dict
+) -> dict:
+    """DateStats assembly (profile.py:970-998)."""
+    all_formats = dict(p.other_formats)
+    if p.valid_count and detection["detected_format"]:
+        all_formats[detection["detected_format"]] = (
+            all_formats.get(detection["detected_format"], 0) + p.valid_count
+        )
+    span_days = None
+    min_date = max_date = None
+    if p.min_ymd is not None and p.max_ymd is not None:
+        min_date = f"{p.min_ymd:08d}"
+        max_date = f"{p.max_ymd:08d}"
+        t0 = pd.Timestamp(min_date[:4] + "-" + min_date[4:6] + "-" + min_date[6:])
+        t1 = pd.Timestamp(max_date[:4] + "-" + max_date[4:6] + "-" + max_date[6:])
+        span_days = int((t1 - t0).days)
+    return {
+        "count": p.count,
+        "null_count": p.null_count,
+        "valid_count": p.valid_count,
+        "invalid_count": p.invalid_count,
+        "out_of_range_count": p.out_of_range_count,
+        "detected_format": detection["detected_format"],
+        "format_consistent": len(all_formats) <= 1,
+        "min_date": min_date,
+        "max_date": max_date,
+        "span_days": span_days,
+        "distribution_by_month": dict(p.by_month),
+        "distribution_by_year": dict(p.by_year),
+        "distribution_by_dow": dict(p.by_dow),
+        "warnings": list(p.warnings),
+        "has_ambiguity": detection["has_ambiguity"],
+    }

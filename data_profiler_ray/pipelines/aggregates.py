@@ -1,0 +1,72 @@
+"""Skew-safe grouped aggregates: two-level salted groupby.
+
+North_rule: "skewed repos (monorepos with millions of files) are salted
+and repartitioned before the duplicate-detection shuffle". A monorepo key
+would send all its rows to one reducer; salting splits each hot key into
+``n_salts`` sub-keys, aggregates per (key, salt), then merges the (tiny)
+per-salt partials in a second groupby on the bare key. Both aggregates
+are algebraic (sum/count/min/max/mean-from-sums), so the two-level result
+is exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import from_pandas_clean
+from ray.data.aggregate import Max, Min, Sum
+
+
+def salted_group_stats(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    *,
+    n_salts: int = 16,
+) -> pd.DataFrame:
+    """Per-key count + sum/min/max/mean of each value column, via a
+    salted two-level aggregate.
+
+    Returns one row per key: (key, n, {v}_sum, {v}_min, {v}_max, {v}_mean).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, *value_cols]).to_pandas()
+        # deterministic salt from a row hash — spreads each key's rows
+        # uniformly over n_salts sub-keys
+        df["_salt"] = (
+            pd.util.hash_pandas_object(df.reset_index(drop=True), index=True).to_numpy()
+            % n_salts
+        ).astype(np.int64)
+        aggs = {"n": (key_col, "size")}
+        for v in value_cols:
+            aggs[f"{v}_sum"] = (v, "sum")
+            aggs[f"{v}_min"] = (v, "min")
+            aggs[f"{v}_max"] = (v, "max")
+        g = df.groupby([key_col, "_salt"], sort=False).agg(**aggs).reset_index()
+        return from_pandas_clean(g)
+
+    level1_aggs = [Sum("n", alias_name="n")]
+    for v in value_cols:
+        level1_aggs += [
+            Sum(f"{v}_sum", alias_name=f"{v}_sum"),
+            Min(f"{v}_min", alias_name=f"{v}_min"),
+            Max(f"{v}_max", alias_name=f"{v}_max"),
+        ]
+
+    # level 1: shuffle on (key, salt) — hot keys split across reducers
+    per_salt = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "_salt"])
+        .aggregate(*level1_aggs)
+    )
+    # level 2: tiny shuffle on the bare key (n_salts rows per key)
+    merged = per_salt.groupby(key_col).aggregate(*level1_aggs).to_pandas()
+    for v in value_cols:
+        merged[f"{v}_mean"] = merged[f"{v}_sum"] / merged["n"]
+    merged["n"] = merged["n"].astype("int64")
+    return merged.sort_values(key_col).reset_index(drop=True)

@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from ..util import from_pandas_clean
 from ray.data.aggregate import Count, Min, Sum
 
 
@@ -53,7 +55,7 @@ def dedup_exact_keeper_ids(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"h": h, "i": ids})
         g = df.groupby("h", sort=False)["i"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -96,7 +98,7 @@ def duplicate_stats(
         df = pd.DataFrame({"k": joined[keep]})
         g = df.groupby("k", sort=False).size().reset_index(name="cnt")
         g["skipped"] = 0
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = from_pandas_clean(g)
         skipped_row = pa.table(
             {
                 "k": pa.array(["\x01__skipped__"], pa.string()),

@@ -1,0 +1,167 @@
+"""Candidate-key scoring + compound-key distinct counting.
+
+``CandidateKeyAnalyzer`` semantics
+(``/root/reference/api/services/keys.py:40-219``):
+score = distinct_ratio * (1 - null_ratio); compound keys use the SUM of
+member null ratios; skip columns with distinct_ratio < min_distinct_ratio
+or score < min_score; sort by (-score, invalid_count) and keep top K.
+The API path uses stricter thresholds (distinct_pct >= 95 and score >=
+0.9, ``runs.py:1597-1616``) — exposed as parameters.
+
+Scoring runs driver-side over the tiny per-column stats table; compound
+key distinct counts need one shuffle each (hash of the joined member
+values — ``keys.py:350-364``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import from_pandas_clean
+from ray.data.aggregate import Sum
+
+
+def compound_key_stats(
+    ds: ray.data.Dataset, cols: list[str]
+) -> dict:
+    """distinct/total/null counts for a compound key.
+
+    A row with ANY null member is excluded from the key (and counted),
+    matching the reference's skip-and-count (``keys.py:305-312``).
+    Null = SQL null or empty-after-strip, per reference null semantics.
+    Pre-aggregated per batch; one shuffle on the 64-bit key hash.
+    """
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        null_mask = np.zeros(n, dtype=bool)
+        parts = []
+        for c in cols:
+            col = pc.cast(batch[c], pa.string())
+            null_mask |= pc.is_null(col).to_numpy(zero_copy_only=False)
+            s = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+            null_mask |= pc.equal(pc.utf8_length(s), 0).to_numpy(zero_copy_only=False)
+            parts.append(np.asarray(s.to_pandas(), dtype=object))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined + "\x00" + p
+        keep = ~null_mask
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha256(v.encode()).digest()[:8], "big") >> 1
+                for v in joined[keep]
+            ),
+            dtype=np.int64,
+            count=int(keep.sum()),
+        )
+        df = pd.DataFrame({"h": hashes})
+        g = df.groupby("h", sort=False).size().reset_index(name="cnt")
+        g["nulls"] = 0
+        out = from_pandas_clean(g)
+        marker = pa.table(
+            {
+                "h": pa.array([-1], pa.int64()),
+                "cnt": pa.array([0], pa.int64()),
+                "nulls": pa.array([int(null_mask.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out.cast(marker.schema), marker])
+
+    per_key = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("nulls", alias_name="nulls"))
+    )
+
+    def roll(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        nulls = int(df.nulls.sum())
+        df = df[df.h != -1]
+        return pa.table(
+            {
+                "distinct": pa.array([int(len(df))], pa.int64()),
+                "rows": pa.array([int(df.cnt.sum())], pa.int64()),
+                "nulls": pa.array([nulls], pa.int64()),
+            }
+        )
+
+    parts = per_key.map_batches(roll, batch_format="pyarrow").to_pandas()
+    return {
+        "distinct_count": int(parts["distinct"].sum()),
+        "total_count": int(parts["rows"].sum()) + int(parts["nulls"].sum()),
+        "null_count": int(parts["nulls"].sum()),
+    }
+
+
+def suggest_candidate_keys(
+    column_stats: dict[str, dict],
+    pair_stats: dict[tuple, dict] | None = None,
+    triple_stats: dict[tuple, dict] | None = None,
+    *,
+    max_suggestions: int = 5,
+    min_score: float = 0.5,
+    min_distinct_ratio: float = 0.5,
+) -> list[dict]:
+    """Driver-side scoring over per-column stats (keys.py:97-219).
+
+    column_stats: {col: {distinct_count, total_count, null_count,
+    invalid_count?}}.
+    """
+    candidates = []
+    for col, st in column_stats.items():
+        total = st["total_count"]
+        if total == 0:
+            continue
+        dr = st["distinct_count"] / total
+        if dr < min_distinct_ratio:
+            continue
+        nr = st["null_count"] / total
+        score = dr * (1 - nr)
+        if score < min_score:
+            continue
+        candidates.append(
+            {
+                "columns": [col],
+                "score": score,
+                "distinct_ratio": dr,
+                "null_ratio_sum": nr,
+                "_invalid": st.get("invalid_count", 0),
+            }
+        )
+
+    for stats, arity in ((pair_stats, 2), (triple_stats, 3)):
+        if not stats:
+            continue
+        for cols, st in stats.items():
+            total = st["total_count"]
+            if total == 0:
+                continue
+            dr = st["distinct_count"] / total
+            null_ratio_sum = sum(
+                column_stats[c]["null_count"] / column_stats[c]["total_count"]
+                for c in cols
+                if c in column_stats and column_stats[c]["total_count"]
+            )
+            score = dr * (1 - null_ratio_sum)
+            if score >= min_score:
+                candidates.append(
+                    {
+                        "columns": list(cols),
+                        "score": score,
+                        "distinct_ratio": dr,
+                        "null_ratio_sum": null_ratio_sum,
+                        "_invalid": sum(
+                            column_stats.get(c, {}).get("invalid_count", 0) for c in cols
+                        ),
+                    }
+                )
+
+    candidates.sort(key=lambda x: (-x["score"], x["_invalid"]))
+    for c in candidates:
+        c.pop("_invalid", None)
+    return candidates[:max_suggestions]

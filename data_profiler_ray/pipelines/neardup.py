@@ -1,0 +1,437 @@
+"""Near-duplicate detection: MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+Public-knowledge algorithms (Broder 1997 MinHash; Indyk-Motwani LSH;
+Charikar 2002 SimHash) composed Ray-Data-first:
+
+    map_batches(signatures)  ->  explode (band, band_hash, id) rows
+      ->  groupby(band, band_hash)   # THE shuffle; key is a uniform hash
+      ->  per-bucket candidate pairs (bucket size capped — hot-bucket guard)
+      ->  estimate/verify  ->  distinct pairs
+
+Nothing materializes the corpus: signatures are fixed-size, buckets are
+small by construction, and pair verification touches only candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """64-bit hashes of overlapping char n-grams (rolling window)."""
+    b = text.encode("utf-8", "ignore")
+    if len(b) < n:
+        b = b + b"\x00" * (n - len(b))
+    # vectorized rolling hash: view n-byte windows, hash via blake2b per
+    # window is slow — use polynomial rolling hash instead
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    k = len(arr) - n + 1
+    base = np.uint64(1099511628211)
+    acc = np.zeros(k, dtype=np.uint64)
+    for i in range(n):
+        acc = acc * base + arr[i : i + k]
+    return np.unique(acc)
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    h = pd.util.hash_array(np.array(toks, dtype=object))
+    return h.astype(np.uint64)
+
+
+class MinHasher:
+    """num_perm universal-hash permutations over shingle hashes.
+
+    Stateful map_batches class: the permutation coefficients are built
+    once per actor in __init__ (deterministic seed).
+    """
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        shingle_n: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        seed: int = 1,
+    ):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        x = _shingle_hashes(text, self.shingle_n)
+        if len(x) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # multiply-add hash family mod 2^64 (odd multiplier); natural
+        # uint64 wraparound, fully vectorized (perm × shingle) then min.
+        with np.errstate(over="ignore"):
+            m = self.a[:, None] * x[None, :] + self.b[:, None]
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else np.zeros((0, self.num_perm), dtype=np.uint64)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    bucket_cap: int = 64,
+    seed: int = 1,
+) -> pd.DataFrame:
+    """Candidate pairs whose MinHash-estimated Jaccard >= threshold.
+
+    bands×rows banding (rows = num_perm//bands); a pair is a candidate if
+    any band agrees. Buckets larger than ``bucket_cap`` are truncated
+    (logged in the output's ``truncated`` count column convention is
+    omitted here; hot buckets in near-dup work are boilerplate clusters —
+    cap + salt is the standard guard).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    rows_per_band = num_perm // bands
+    hasher_kwargs = dict(
+        num_perm=num_perm, shingle_n=shingle_n, text_col=text_col,
+        id_col=id_col, seed=seed,
+    )
+
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=hasher_kwargs,
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig_list = batch["sig"].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, sig in enumerate(sig_list):
+            s = np.asarray(sig, dtype=np.int64)
+            for b in range(bands):
+                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
+                h = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                ) >> 1
+                out_band.append(b)
+                out_hash.append(h)
+                out_id.append(ids[i])
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "bhash": pa.array(out_hash, pa.int64()),
+                id_col: pa.array(out_id),
+                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+    banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col).head(bucket_cap)
+        ids = g[id_col].to_numpy()
+        sigs_m = np.stack(g["sig"].to_numpy())
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            eq = (sigs_m[i + 1 :] == sigs_m[i]).mean(axis=1)
+            for j, est in enumerate(eq):
+                if est >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    out_j.append(float(est))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = banded.groupby(["band", "bhash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Charikar simhash over whitespace tokens (64-bit)."""
+    h = _word_hashes(text)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 256,
+) -> pd.DataFrame:
+    """Near-dup pairs with simhash Hamming distance <= max_hamming.
+
+    Blocking: 4×16-bit bands — any pair within Hamming<=3 of 64 bits
+    must agree exactly on at least one band (pigeonhole), so bucket
+    groupby finds all such pairs.
+    """
+
+    def sign(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hs = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+        out = {id_col: pa.array(ids), "simhash": pa.array(hs.astype(np.int64))}
+        for b in range(4):
+            out[f"band{b}"] = pa.array(
+                ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+        return pa.table(out)
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col).head(bucket_cap)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            x = hs[i + 1 :] ^ hs[i]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.flatnonzero(d <= max_hamming):
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + j])
+                out_h.append(int(d[j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    all_pairs = []
+    for b in range(4):
+        p = (
+            signed.groupby(f"band{b}")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+        if not p.empty:
+            all_pairs.append(p)
+    if not all_pairs:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    pairs = pd.concat(all_pairs).groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def exact_jaccard_pairs(
+    ds: ray.data.Dataset,
+    pairs: pd.DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> pd.DataFrame:
+    """Exact char-n-gram Jaccard for given candidate (id_a, id_b) pairs.
+
+    Broadcast the candidate id set, filter the corpus to candidates
+    (semi-join via map_batches), collect only those shingle sets. The
+    candidate set must be small relative to the corpus — that is the
+    point of LSH prefiltering.
+    """
+    if pairs.empty:
+        return pairs.assign(jaccard=pd.Series(dtype=float))
+    wanted = set(pairs["id_a"]).union(pairs["id_b"])
+    wanted_arr = pa.array(sorted(wanted))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col], value_set=wanted_arr)
+        sub = batch.filter(mask)
+        return pa.table({id_col: sub[id_col], text_col: sub[text_col]})
+
+    docs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    shingles = {
+        r[id_col]: set(_shingle_hashes(r[text_col] or "", shingle_n).tolist())
+        for _, r in docs.iterrows()
+    }
+    jac = []
+    for _, r in pairs.iterrows():
+        a, b = shingles.get(r["id_a"], set()), shingles.get(r["id_b"], set())
+        union = len(a | b)
+        jac.append(len(a & b) / union if union else 0.0)
+    out = pairs.copy()
+    out["jaccard"] = jac
+    return out
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> pd.DataFrame:
+    """MinHash-LSH candidates + exact n-gram Jaccard verification."""
+    cand = minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col,
+        threshold=max(0.0, threshold - 0.2), **lsh_kwargs,
+    )
+    verified = exact_jaccard_pairs(ds, cand, text_col=text_col, id_col=id_col)
+    if verified.empty:
+        return verified
+    out = verified[verified["jaccard"] >= threshold]
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_bruteforce(
+    ds: ray.data.Dataset,
+    *,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine>=tau pairs via a broadcast of the (normalized) matrix.
+
+    Test/bench path: O(n²) work but distributed over batches; the matrix
+    broadcast bounds n to what fits in one object (~1M×64 floats). The
+    scale path is :func:`embedding_near_dup_lsh`.
+    """
+    from .similarity import _batch_matrix, _normalize
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    mat = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, mat))
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        ids_g, m_g = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = m @ m_g.T
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            hit = np.flatnonzero((sims[i] >= tau) & (ids_g > ids[i]))
+            out_a.extend([ids[i]] * len(hit))
+            out_b.extend(ids_g[hit])
+            out_s.extend(sims[i][hit])
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(np.asarray(out_s, dtype=np.float64)),
+            }
+        )
+
+    out = ds.map_batches(pairs_fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_lsh(
+    ds: ray.data.Dataset,
+    *,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_bits: int = 10,
+    bucket_cap: int = 512,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Scale path: hyperplane-LSH buckets -> in-bucket exact cosine.
+
+    Recall is probabilistic (standard LSH guarantee); the shuffle key
+    (table, bucket_code) is uniform by construction.
+    """
+    from .similarity import _batch_matrix, _normalize
+
+    # peek the dimension from one row
+    dim = len(ds.take(1)[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    def code(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _batch_matrix(batch, vec_col)
+        proj = np.einsum("tbd,nd->tnb", pl, m) > 0
+        codes = (proj.astype(np.int64) * weights).sum(axis=2)
+        n = len(m)
+        out = {
+            "table": pa.array(np.repeat(np.arange(n_tables), n).astype(np.int32)),
+            "bucket": pa.array(codes.reshape(-1)),
+            id_col: pa.array(np.tile(batch[id_col].to_numpy(zero_copy_only=False), n_tables)),
+            vec_col: pa.concat_arrays(
+                [batch[vec_col].combine_chunks() if isinstance(batch[vec_col], pa.ChunkedArray) else batch[vec_col]]
+                * n_tables
+            ),
+        }
+        return pa.table(out)
+
+    coded = ds.map_batches(code, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col).head(bucket_cap)
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = sims[iu] >= tau
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][hit]],
+                "id_b": ids[iu[1][hit]],
+                "cosine": sims[iu][hit],
+            }
+        )
+
+    pairs = coded.groupby(["table", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

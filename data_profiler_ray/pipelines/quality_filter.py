@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ..util import from_pandas_clean
+
 from ..config import DEFAULT_PII, DEFAULT_THRESHOLDS, FilterThresholds, PIIConfig
 from ..functions.text_metrics import compute_text_metrics, sha256_hex
 from ..stages.rules import KeepDropRules
@@ -54,40 +56,69 @@ def _sha_projection(batch: pa.Table) -> pa.Table:
     return pa.table({"content_sha256": sha, "rowkey": _rowkey(batch)})
 
 
-def compute_duplicate_keepers(ds: ray.data.Dataset) -> dict[str, str]:
-    """One wide shuffle: sha-project the input, group by sha256, return
+def compute_duplicate_keepers(
+    ds: ray.data.Dataset, *, driver_threshold_rows: int = 5_000_000
+) -> dict[str, str]:
+    """Sha-project the input, group by sha256, return
     ``{sha: keeper_rowkey}`` for every sha appearing more than once.
 
     The keeper is the minimum ``repo\\0path`` rowkey — deterministic and
     merge-order independent (SURVEY.md §7.4 determinism requirement).
     Mirrors reference duplicate detection on a confirmed key
     (``keys.py:321-364``: hash per key, count, keep examples).
+
+    Two physical plans, auto-selected by input size:
+    - small (<= driver_threshold_rows): parallel sha-projection partials
+      collected to the driver (~100 B/row) and resolved with one pandas
+      groupby — Ray's all-to-all has seconds of fixed cost that dominates
+      small jobs;
+    - large: bucket-shuffle — partials keyed by an int prefix of the sha
+      (uniform), ``groupby(bucket).map_groups`` resolves each bucket
+      exactly and emits only duplicated shas. Nothing large ever sits on
+      the driver.
     """
+    n_buckets = 64
     proj = ds.map_batches(_sha_projection, batch_format="pyarrow")
 
     def partial_min(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: one (sha, min_rowkey, count) row per sha
+        # per-batch combiner: one (sha, min_rowkey, count) row per sha;
+        # bucket from the sha hex prefix (uniform) — int shuffle key
         df = batch.to_pandas()
         g = df.groupby("content_sha256", sort=False)["rowkey"].agg(["min", "size"])
         g = g.reset_index()
         g.columns = ["content_sha256", "min_rowkey", "cnt"]
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_sha256": [g["content_sha256"].iloc[0]],
-                "min_rowkey": [g["min_rowkey"].min()],
-                "cnt": [int(g["cnt"].sum())],
-            }
-        )
+        if len(g):
+            prefix_bytes = bytes.fromhex("".join(g["content_sha256"].str.slice(0, 8)))
+            bucket = np.frombuffer(prefix_bytes, dtype=">u4").astype(np.int64) % n_buckets
+        else:
+            bucket = np.zeros(0, dtype=np.int64)
+        g["bucket"] = bucket
+        return from_pandas_clean(g)
 
     partials = proj.map_batches(partial_min, batch_format="pyarrow")
-    merged = partials.groupby("content_sha256").map_groups(
-        merge_group, batch_format="pandas"
+
+    n_rows = ds.count()
+    if n_rows <= driver_threshold_rows:
+        pdf = partials.to_pandas()
+        agg = pdf.groupby("content_sha256").agg(
+            cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
+        )
+        dup = agg[agg.cnt > 1]
+        return dict(zip(dup.index, dup["min_rowkey"]))
+
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # exact within-bucket merge; emit only duplicated shas
+        agg = g.groupby("content_sha256").agg(
+            cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
+        )
+        agg = agg[agg.cnt > 1].reset_index()
+        return agg[["content_sha256", "min_rowkey"]]
+
+    dup_pdf = (
+        partials.groupby("bucket")
+        .map_groups(resolve_bucket, batch_format="pandas")
+        .to_pandas()
     )
-    dup = merged.filter(expr="cnt > 1")
-    dup_pdf = dup.to_pandas()  # small: only duplicated shas
     if dup_pdf.empty:  # zero duplicates -> columnless empty frame
         return {}
     return dict(zip(dup_pdf["content_sha256"], dup_pdf["min_rowkey"]))
@@ -173,15 +204,10 @@ def build_quality_filter(
     out = ds.map_batches(compute_text_metrics, batch_format="pyarrow", batch_size=batch_size)
     out = out.map_batches(_scrub_fn_factory(pii), batch_format="pyarrow", batch_size=batch_size)
     if with_scorers:
+        from ..stages.scorers import CombinedScorer
+
         out = out.map_batches(
-            LangIDScorer,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=scorer_concurrency,
-            num_cpus=1,
-        )
-        out = out.map_batches(
-            PerplexityScorer,
+            CombinedScorer,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=scorer_concurrency,
@@ -212,7 +238,7 @@ def drop_reason_histogram(labeled: ray.data.Dataset) -> pd.DataFrame:
             }
         ).to_pandas()
         g = df.groupby(["reason", "keep"], sort=False).size().reset_index(name="cnt")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     from ray.data.aggregate import Sum
 

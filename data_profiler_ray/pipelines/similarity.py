@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_bruteforce` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul, each
+  batch emits its LOCAL top-k, and the driver merges (exact because
+  per-batch top-k is a superset filter for global top-k). No shuffle, no
+  full materialization.
+- :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets
+  (SimHash-style, Charikar 2002); candidates share a bucket in any of
+  ``n_tables`` tables; exact cosine re-rank on candidates only.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(len(arr), 1)
+    return flat.reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k of ``query`` (1-D) against every row.
+
+    Returns columns (id_col, sim) sorted by (sim desc, id asc).
+    """
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ qv
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(sims) > k:
+            part = np.argpartition(-sims, k)[:k]
+        else:
+            part = np.arange(len(sims))
+        return pa.table(
+            {
+                id_col: pa.array(ids[part]),
+                "sim": pa.array(sims[part], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH prefilter + exact re-rank.
+
+    Each batch computes its rows' bucket signatures for every table; rows
+    whose signature matches the query's in ANY table become candidates and
+    are re-ranked exactly. At cluster scale the planes matrix is broadcast
+    and the candidate set is a tiny fraction of the corpus.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    dim = q.shape[0]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    q_sigs = (np.einsum("tbd,d->tb", planes, q) > 0).astype(np.uint64)
+    weights = (1 << np.arange(n_bits, dtype=np.uint64))
+    q_codes = (q_sigs * weights).sum(axis=1)
+    state = ray.put((q / (np.linalg.norm(q) or 1.0), planes, q_codes))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        qv, pl, qc = ray.get(state)
+        m = _batch_matrix(batch, vec_col)
+        proj = np.einsum("tbd,nd->tnb", pl, m) > 0
+        codes = (proj.astype(np.uint64) * weights).sum(axis=2)  # (tables, n)
+        hit = (codes == qc[:, None]).any(axis=0)
+        if not hit.any():
+            return pa.table({id_col: pa.array([], batch[id_col].type), "sim": pa.array([], pa.float64())})
+        mh = _normalize(m[hit])
+        sims = mh @ qv
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({id_col: pa.array(ids), "sim": pa.array(sims, pa.float64())})
+
+    parts = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from .util import from_pandas_clean, tune_context
 from ray.data.aggregate import Count, Max, Min, Sum
 
 _ROUND = 4
@@ -35,6 +37,7 @@ def _round_away(x, n: int):
     return np.sign(arr) * np.floor(np.abs(arr) * factor + 0.5) / factor
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    tune_context()
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
@@ -65,7 +68,7 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -245,7 +248,7 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("lang", sort=False).agg(
             n_docs=("tokens", "size"), sum_tokens=("tokens", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -302,6 +305,376 @@ SELECT (SELECT coalesce(sum(cnt), 0) FROM k)::BIGINT + (SELECT skipped FROM s)::
 
 
 # ---------------------------------------------------------------------------
+# distinct_counts — exact distinct per column in ONE shuffle (G2)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_COLS = ["l_returnflag", "l_linestatus", "l_orderkey", "l_partkey"]
+
+
+def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.profiler import value_counts
+
+    ds = _read(sf_dir, "lineitem", _DISTINCT_COLS)
+    counts = value_counts(ds, _DISTINCT_COLS)
+    out = counts.groupby("col").aggregate(Count(alias_name="distinct_cnt")).to_pandas()
+    out["distinct_cnt"] = out["distinct_cnt"].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+_SQL_DISTINCT_COUNTS = """
+SELECT 'l_returnflag' AS col, count(DISTINCT l_returnflag) AS distinct_cnt FROM lineitem
+UNION ALL SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey) FROM lineitem
+UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey) FROM lineitem
+ORDER BY col
+"""
+
+
+# ---------------------------------------------------------------------------
+# topk_values — exact top-10 by frequency (G3/T1)
+# ---------------------------------------------------------------------------
+
+def q_topk_values(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.profiler import value_counts
+
+    ds = _read(sf_dir, "part", ["p_brand"])
+    counts = value_counts(ds, ["p_brand"]).to_pandas()
+    out = counts.sort_values(["cnt", "value"], ascending=[False, True]).head(10)
+    out = out.rename(columns={"value": "p_brand"})[["p_brand", "cnt"]]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_TOPK_VALUES = """
+SELECT p_brand, count(*) AS cnt FROM part
+GROUP BY p_brand ORDER BY cnt DESC, p_brand LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# numeric_stats — exact global stats incl. quantiles via sort (G4/A1)
+# ---------------------------------------------------------------------------
+
+def q_numeric_stats(sf_dir: str) -> pd.DataFrame:
+    from .functions.profilers import profile_float_batch
+    from .pipelines.profiler import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        vals = batch["l_extendedprice"].drop_null().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"blob": pa.array([pickle.dumps(profile_float_batch(vals))], pa.large_binary())}
+        )
+
+    import pickle
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow").to_pandas()["blob"]
+    whole = pickle.loads(blobs.iloc[0])
+    for b in blobs.iloc[1:]:
+        whole = whole.merge(pickle.loads(b))
+    st = whole.finalize()
+    q = exact_quantiles(ds, "l_extendedprice", percentiles=(25, 50, 75))
+    return pd.DataFrame(
+        {
+            "n": pd.array([st["valid_count"]], dtype="int64"),
+            "min_v": [st["min_value"]],
+            "max_v": [st["max_value"]],
+            "mean_v": _round_away([st["mean"]], _ROUND),
+            "stddev_v": _round_away([st["stddev"]], _ROUND),
+            "p25": _round_away([q["p25"]], _ROUND),
+            "median_v": _round_away([q["p50"]], _ROUND),
+            "p75": _round_away([q["p75"]], _ROUND),
+        }
+    )
+
+
+_SQL_NUMERIC_STATS = f"""
+SELECT count(l_extendedprice) AS n,
+       min(l_extendedprice) AS min_v,
+       max(l_extendedprice) AS max_v,
+       round(avg(l_extendedprice), {_ROUND}) AS mean_v,
+       round(stddev_samp(l_extendedprice), {_ROUND}) AS stddev_v,
+       round(quantile_cont(l_extendedprice, 0.25), {_ROUND}) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), {_ROUND}) AS median_v,
+       round(quantile_cont(l_extendedprice, 0.75), {_ROUND}) AS p75
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# date_histograms — events by month and day-of-week (G7)
+# ---------------------------------------------------------------------------
+
+def q_date_histogram(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = pc.strftime(batch["ts"], format="%Y-%m")
+        df = pd.DataFrame({"month": key.to_numpy(zero_copy_only=False)})
+        g = df.groupby("month", sort=False).size().reset_index(name="cnt")
+        return from_pandas_clean(g)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).to_pandas()
+    agg["cnt"] = agg["cnt"].astype("int64")
+    return agg.sort_values("month").reset_index(drop=True)
+
+
+_SQL_DATE_HISTOGRAM = """
+SELECT strftime(ts, '%Y-%m') AS month, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dow_histogram(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = pc.strftime(batch["ts"], format="%A")
+        df = pd.DataFrame({"dow": key.to_numpy(zero_copy_only=False)})
+        g = df.groupby("dow", sort=False).size().reset_index(name="cnt")
+        return from_pandas_clean(g)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dow")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).to_pandas()
+    agg["cnt"] = agg["cnt"].astype("int64")
+    return agg.sort_values("dow").reset_index(drop=True)
+
+
+_SQL_DOW_HISTOGRAM = """
+SELECT dayname(ts) AS dow, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# candidate_keys — per-column key scores over customer (G10)
+# ---------------------------------------------------------------------------
+
+_CK_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+
+
+def q_candidate_keys(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.profiler import value_counts
+
+    ds = _read(sf_dir, "customer", _CK_COLS)
+    counts = value_counts(ds, _CK_COLS)
+    distinct = counts.groupby("col").aggregate(Count(alias_name="distinct_cnt")).to_pandas()
+    n = ds.count()
+    out = distinct.copy()
+    out["distinct_cnt"] = out["distinct_cnt"].astype("int64")
+    out["total_cnt"] = np.int64(n)
+    # customer table has no nulls; null_ratio = 0 → score = distinct ratio
+    out["score"] = _round_away(out.distinct_cnt / n, 6)
+    return out.sort_values("col").reset_index(drop=True)
+
+
+_SQL_CANDIDATE_KEYS = """
+WITH t AS (
+  SELECT 'c_custkey' AS col, count(DISTINCT c_custkey) AS distinct_cnt, count(*) AS total_cnt FROM customer
+  UNION ALL SELECT 'c_name', count(DISTINCT c_name), count(*) FROM customer
+  UNION ALL SELECT 'c_nationkey', count(DISTINCT c_nationkey), count(*) FROM customer
+  UNION ALL SELECT 'c_mktsegment', count(DISTINCT c_mktsegment), count(*) FROM customer
+)
+SELECT col, distinct_cnt, total_cnt,
+       round(distinct_cnt::DOUBLE / total_cnt, 6) AS score
+FROM t ORDER BY col
+"""
+
+
+# ---------------------------------------------------------------------------
+# knn_bruteforce — exact cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+def q_knn(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from .pipelines.similarity import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # deterministic query: the embedding of vec_id 0
+    t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t0.filter(pc.equal(t0["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    out = knn_bruteforce(ds, q, k=10)
+    out["sim"] = _round_away(out["sim"], 6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+_SQL_KNN = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs (exact cosine >= tau)
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.neardup import embedding_near_dup_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_bruteforce(ds, tau=0.45)
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64")})
+    return out[["id_a", "id_b"]].astype("int64").reset_index(drop=True)
+
+
+_SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_quality — quality features + score (text-analysis family)
+# ---------------------------------------------------------------------------
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    from .functions.textstats import quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        out = quality_features(batch, content_col="text")
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_tokens_ws": out["n_tokens_ws"],
+                "n_tokens_bpe": out["n_tokens_bpe"],
+                "punct_ratio": pa.array(
+                    _round_away(out["punct_ratio"].to_numpy(zero_copy_only=False), 6)
+                ),
+                "digit_ratio": pa.array(
+                    _round_away(out["digit_ratio"].to_numpy(zero_copy_only=False), 6)
+                ),
+                "stopword_ratio": pa.array(
+                    _round_away(out["stopword_ratio"].to_numpy(zero_copy_only=False), 6)
+                ),
+                "quality_score": pa.array(
+                    _round_away(out["quality_score"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(feats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_DOC_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens_ws,
+    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_bpe,
+    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+    len(regexp_extract_all(text, '[0-9]'))::DOUBLE / greatest(length(text), 1) AS digit_ratio,
+    len(regexp_extract_all(text, '\b(?:the|and|of|to|a|in|is|it|that|for)\b'))::DOUBLE
+      / greatest(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(0.25 * (least(n_tokens_ws / 20.0, 1.0)
+                     + (1 - greatest(punct_ratio - 0.2, 0) / 0.8)
+                     + least(stopword_ratio / 0.1, 1.0)
+                     + (1 - greatest(digit_ratio - 0.3, 0) / 0.7)), 6) AS quality_score
+FROM f
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash near-dup + simhash (no SQL oracle — rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.neardup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, threshold=0.5)
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "est_jaccard": pd.array([], dtype="float64")})
+    return out
+
+
+def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.neardup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=3)
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "hamming": pd.array([], dtype="int64")})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# langid + quality score over documents (no SQL oracle — model-driven)
+# ---------------------------------------------------------------------------
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    from .stages.scorers import LangIDScorer, PerplexityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "content", "lang"])
+
+    out = (
+        ds.map_batches(rename, batch_format="pyarrow")
+        .map_batches(LangIDScorer, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(PerplexityScorer, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "lang", "lang_pred", "lang_conf", "perplexity"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# flagship quality filter over documents-as-code-table (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_flagship(sf_dir: str) -> pd.DataFrame:
+    import __ray_entry__ as entry_mod
+
+    from .pipelines.quality_filter import build_quality_filter
+
+    ds = entry_mod._documents_as_code_table(sf_dir)
+    labeled = build_quality_filter(ds, scorer_concurrency=(1, 4))
+    out = labeled.select_columns(
+        ["repo", "path", "content_sha256", "keep", "reason", "scrubbed"]
+    ).to_pandas()
+    return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -313,6 +686,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "duplicate_stats": q_duplicate_stats,
+        "distinct_counts": q_distinct_counts,
+        "topk_values": q_topk_values,
+        "numeric_stats": q_numeric_stats,
+        "date_histogram": q_date_histogram,
+        "dow_histogram": q_dow_histogram,
+        "candidate_keys": q_candidate_keys,
+        "knn_bruteforce": q_knn,
+        "embedding_near_dup": q_embedding_near_dup,
+        "doc_quality": q_doc_quality,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "langid_scores": q_langid,
+        "flagship_quality_filter": q_flagship,
     }
 
 
@@ -324,4 +710,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "token_stats": _SQL_TOKEN_STATS,
         "duplicate_stats": _SQL_DUPLICATE_STATS,
+        "distinct_counts": _SQL_DISTINCT_COUNTS,
+        "topk_values": _SQL_TOPK_VALUES,
+        "numeric_stats": _SQL_NUMERIC_STATS,
+        "date_histogram": _SQL_DATE_HISTOGRAM,
+        "dow_histogram": _SQL_DOW_HISTOGRAM,
+        "candidate_keys": _SQL_CANDIDATE_KEYS,
+        "knn_bruteforce": _SQL_KNN,
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "doc_quality": _SQL_DOC_QUALITY,
+        # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

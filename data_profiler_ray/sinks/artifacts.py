@@ -1,0 +1,123 @@
+"""Profile artifact writers: profile.json, metrics.csv, report.html.
+
+Reference sinks S3/S4/S5 (SURVEY.md §2.1):
+- profile.json — nested per-column profile
+  (``/root/reference/api/services/pipeline.py:502-516``);
+- metrics.csv — one row per column, the 19 fixed headers of
+  ``get_metrics_csv`` (``api/routers/runs.py:1039-1197``) with the
+  CSV-injection sanitizer (``runs.py:1012-1036``: leading ``= + - @``
+  prefixed with ``'``);
+- report.html — minimal self-contained summary (the reference's 890-line
+  styled report is display-only; parity here is structural).
+
+All writers are driver-side over the materialized (small) profile dict —
+per SURVEY.md mapping these are not distributed concerns.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+from typing import Any
+
+CSV_HEADERS = [
+    "column_name", "type", "null_count", "distinct_count", "distinct_pct",
+    "min_value", "max_value", "mean", "median", "stddev",
+    "min_length", "max_length", "avg_length",
+    "top_value_1", "top_value_1_count",
+    "top_value_2", "top_value_2_count",
+    "top_value_3", "top_value_3_count",
+]
+
+
+def sanitize_csv_value(value: Any) -> str:
+    """CSV-injection prevention (runs.py:1012-1036)."""
+    if value is None:
+        return ""
+    s = str(value)
+    if s and s[0] in ("=", "+", "-", "@"):
+        return "'" + s
+    return s
+
+
+def sanitize_numeric_for_json(value: Any) -> Any:
+    """Recursively replace inf/-inf/nan with None (runs.py:184-208)."""
+    if isinstance(value, float):
+        if math.isinf(value) or math.isnan(value):
+            return None
+        return value
+    if isinstance(value, dict):
+        return {k: sanitize_numeric_for_json(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [sanitize_numeric_for_json(v) for v in value]
+    if isinstance(value, set):
+        return sorted(value)
+    return value
+
+
+def write_profile_json(profiles: dict[str, dict], path: str, *, meta: dict | None = None) -> None:
+    doc = {
+        "metadata": meta or {},
+        "columns": sanitize_numeric_for_json(profiles),
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1, default=str)
+
+
+def write_metrics_csv(profiles: dict[str, dict], path: str) -> None:
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(CSV_HEADERS)
+        for name, p in profiles.items():
+            ns = p.get("numeric_stats", {}) or {}
+            ss = p.get("string_stats", {}) or {}
+            total = p.get("total_count", 0)
+            distinct = p.get("distinct_count", 0)
+            distinct_pct = (distinct / total * 100.0) if total else 0.0
+            top = p.get("top_values", [])
+
+            def topv(i: int, field: int):
+                if len(top) > i:
+                    return top[i][field]
+                return ""
+
+            row = [
+                name,
+                p.get("inferred_type", "unknown"),
+                p.get("null_count", 0),
+                distinct,
+                distinct_pct,
+                ns.get("min_value", ""),
+                ns.get("max_value", ""),
+                ns.get("mean", ""),
+                ns.get("median", ""),
+                ns.get("stddev", ""),
+                ss.get("min_length", ""),
+                ss.get("max_length", ""),
+                ss.get("avg_length", ""),
+                topv(0, 0), topv(0, 1), topv(1, 0), topv(1, 1), topv(2, 0), topv(2, 1),
+            ]
+            w.writerow([sanitize_csv_value(v) for v in row])
+
+
+def write_report_html(profiles: dict[str, dict], path: str, *, title: str = "Profile report") -> None:
+    rows = []
+    for name, p in profiles.items():
+        rows.append(
+            f"<tr><td>{name}</td><td>{p.get('inferred_type')}</td>"
+            f"<td>{p.get('total_count')}</td><td>{p.get('null_count')}</td>"
+            f"<td>{p.get('distinct_count')}</td>"
+            f"<td>{p.get('confidence', 0):.2f}</td></tr>"
+        )
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #ccc;padding:4px 10px;text-align:left}}</style></head>
+<body><h1>{title}</h1>
+<table><tr><th>column</th><th>type</th><th>count</th><th>nulls</th>
+<th>distinct</th><th>confidence</th></tr>
+{''.join(rows)}
+</table></body></html>"""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)

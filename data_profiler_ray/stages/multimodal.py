@@ -1,0 +1,187 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+Task-brief contract: the Ray-side plumbing (schema, batch sizing, actor
+signature, output layout) is REAL and tested; the pixel/sample decode
+itself is stubbed behind clearly-marked hooks because the container has
+no image/audio libraries (PIL/cv2/torchaudio). Swapping in a real decoder
+is a one-method change.
+
+Conventions:
+- payload column: ``pa.large_binary()`` (a file's raw bytes);
+- metadata columns: ``media_type:string`` (e.g. "image/png"),
+  ``media_w:int32``/``media_h:int32``/``media_duration_ms:int64``
+  (producer-provided or parsed from headers);
+- derived columns are fixed-size ``pa.list_(pa.float32(), N)`` feature
+  vectors so downstream ANN / dedup stages consume them unchanged.
+
+Batch sizing: media rows are large (MBs); callers should use small
+``batch_size`` (e.g. 32-128) and cap ``DataContext.target_max_block_size``
+so a batch x actor-pool concurrency fits worker heaps (SURVEY.md §4 /
+task-brief memory note).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+FEATURE_DIM = 64
+
+# magic-byte sniffing — public file signatures
+_SIGNATURES = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),        # refined to video/avi below via fourcc
+    (b"ID3", "audio/mpeg"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+    (b"OggS", "audio/ogg"),
+]
+
+
+def sniff_media_type(payload: bytes) -> str:
+    for magic, mt in _SIGNATURES:
+        if payload.startswith(magic):
+            if mt == "audio/wav" and len(payload) >= 12:
+                fourcc = payload[8:12]
+                if fourcc == b"AVI ":
+                    return "video/avi"
+                if fourcc != b"WAVE":
+                    return "application/octet-stream"
+            return mt
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "video/mp4"
+    return "application/octet-stream"
+
+
+def parse_png_size(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a PNG IHDR header (pure header parse, no decode)."""
+    if len(payload) >= 24 and payload.startswith(b"\x89PNG"):
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    return None
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: sniff type, parse header metadata, extract a
+    feature vector per media row.
+
+    ``map_batches(MediaDecodeStage, batch_size=64, concurrency=(2, N),
+    num_cpus=1, batch_format="pyarrow")``.
+
+    The real decode hook is :meth:`_decode_features`; the default
+    implementation is a DETERMINISTIC FAKE (sha256-seeded pseudo-features)
+    so the full pipeline — schema, batching, actor lifecycle, output
+    layout — runs and is testable without media libraries.
+    """
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+        # Real deployments load the model ONCE here, e.g.:
+        #   self.model = load_image_encoder(...)
+        self.model = None
+
+    # ------------------------------------------------------------------
+    def _decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
+        """STUB — replace with a real decoder (PIL/cv2/torchaudio).
+
+        Default: deterministic pseudo-features seeded by the content hash
+        (stable across runs/partitionings, zero external deps). A strict
+        instance raises instead, making the stub impossible to miss.
+        """
+        if self.strict:
+            raise NotImplementedError(
+                "MediaDecodeStage._decode_features is a stub: no media "
+                "decode libraries in this environment. Subclass and "
+                "override with a real decoder."
+            )
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "big") % (2**32)
+        rng = np.random.default_rng(seed)
+        vec = rng.standard_normal(FEATURE_DIM).astype(np.float32)
+        return vec / (np.linalg.norm(vec) or 1.0)
+
+    # ------------------------------------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        n = len(payloads)
+        types, widths, heights, feats, ok = [], [], [], [], []
+        for v in payloads:
+            b = v.as_py() if v.is_valid else b""
+            mt = sniff_media_type(b)
+            size = parse_png_size(b)
+            types.append(mt)
+            widths.append(size[0] if size else None)
+            heights.append(size[1] if size else None)
+            try:
+                feats.append(self._decode_features(b, mt))
+                ok.append(True)
+            except NotImplementedError:
+                raise
+            except Exception:
+                feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
+                ok.append(False)
+        feat_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats) if feats else np.zeros(0, np.float32)),
+            FEATURE_DIM,
+        )
+        out = batch.append_column("media_type", pa.array(types, pa.string()))
+        out = out.append_column("media_w", pa.array(widths, pa.int32()))
+        out = out.append_column("media_h", pa.array(heights, pa.int32()))
+        out = out.append_column("media_features", feat_arr)
+        out = out.append_column("decode_ok", pa.array(ok, pa.bool_()))
+        return out
+
+
+def media_pipeline(
+    ds: ray.data.Dataset,
+    *,
+    payload_col: str = "payload",
+    batch_size: int = 64,
+    concurrency: tuple[int, int] = (1, 4),
+) -> ray.data.Dataset:
+    """Standard media stage wiring: small batches, actor pool, Arrow I/O."""
+    return ds.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synth_media_table(n: int, seed: int = 7) -> pa.Table:
+    """Deterministic fake media corpus: tiny valid PNG headers + WAV/JPEG
+    magic payloads with random tails (sniffable, not decodable)."""
+    rng = np.random.default_rng(seed)
+    payloads, ids = [], []
+    for i in range(n):
+        kind = i % 3
+        tail = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
+        if kind == 0:  # PNG with IHDR size
+            w, h = int(rng.integers(8, 512)), int(rng.integers(8, 512))
+            payload = (
+                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                + struct.pack(">II", w, h) + tail
+            )
+        elif kind == 1:  # WAV
+            payload = b"RIFF" + struct.pack("<I", len(tail) + 4) + b"WAVE" + tail
+        else:  # JPEG
+            payload = b"\xff\xd8\xff\xe0" + tail
+        payloads.append(payload)
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )

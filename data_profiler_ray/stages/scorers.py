@@ -94,6 +94,48 @@ def _training_corpus(seed: int = 1234, per_lang: int = 30) -> bytes:
     return "\n".join(parts).encode("utf-8")
 
 
+_LOGP_MEM: dict = {}
+
+
+def _build_logp_cached(alpha: float) -> np.ndarray:
+    """Train (or load) the bigram log-prob table.
+
+    Training the deterministic corpus costs seconds; actors on the same
+    node share a /tmp .npy cache (atomic rename) and repeat actors in one
+    process hit the in-memory cache — model built once per actor-process,
+    as the actor-pool contract intends.
+    """
+    import os
+    import tempfile
+
+    key = ("logp", alpha)
+    if key in _LOGP_MEM:
+        return _LOGP_MEM[key]
+    cache = f"/tmp/dpr_ppl_lm_a{alpha}.npy"
+    if os.path.exists(cache):
+        try:
+            logp = np.load(cache)
+            _LOGP_MEM[key] = logp
+            return logp
+        except Exception:
+            pass
+    corpus = np.frombuffer(_training_corpus(), dtype=np.uint8).astype(np.int64)
+    pair_ids = corpus[:-1] * 256 + corpus[1:]
+    counts = np.bincount(pair_ids, minlength=65536).reshape(256, 256).astype(np.float64)
+    row_totals = counts.sum(axis=1, keepdims=True)
+    probs = (counts + alpha) / (row_totals + alpha * 256)
+    logp = np.log(probs).astype(np.float32).reshape(-1)
+    try:
+        fd, tmp = tempfile.mkstemp(dir="/tmp", suffix=".npy")
+        os.close(fd)
+        np.save(tmp, logp)
+        os.replace(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, cache)
+    except Exception:
+        pass
+    _LOGP_MEM[key] = logp
+    return logp
+
+
 class PerplexityScorer:
     """Char-bigram LM perplexity per file, appended as ``perplexity:float64``.
 
@@ -107,12 +149,7 @@ class PerplexityScorer:
 
     def __init__(self, content_col: str = "content", alpha: float = 0.1):
         self.content_col = content_col
-        corpus = np.frombuffer(_training_corpus(), dtype=np.uint8).astype(np.int64)
-        pair_ids = corpus[:-1] * 256 + corpus[1:]
-        counts = np.bincount(pair_ids, minlength=65536).reshape(256, 256).astype(np.float64)
-        row_totals = counts.sum(axis=1, keepdims=True)
-        probs = (counts + alpha) / (row_totals + alpha * 256)
-        self.logp = np.log(probs).astype(np.float32).reshape(-1)
+        self.logp = _build_logp_cached(alpha)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch[self.content_col]
@@ -138,14 +175,24 @@ class PerplexityScorer:
         lens = np.diff(offsets)
 
         if data.size >= 2:
-            ids = data.astype(np.int64)
-            pair_logp = self.logp[ids[:-1] * 256 + ids[1:]].astype(np.float64)
+            # int32/float32 scratch: this sandbox kernel faults fresh pages
+            # at ~8 MB/s, so scratch bytes ARE the cost — keep the
+            # multiplier over content size minimal.
+            ids = data.astype(np.int32)
+            pair_ids = ids[:-1]
+            pair_ids = pair_ids * np.int32(256)
+            pair_ids += ids[1:]
+            pair_logp = self.logp[pair_ids]  # float32
             # zero out pairs that straddle row boundaries
             boundary = offsets[1:-1] - 1  # last byte index of rows 0..n-2
             boundary = boundary[(boundary >= 0) & (boundary < pair_logp.size)]
             pair_logp[boundary] = 0.0
             starts = np.minimum(offsets[:-1], max(pair_logp.size - 1, 0))
-            sums = np.add.reduceat(pair_logp, starts) if pair_logp.size else np.zeros(n)
+            sums = (
+                np.add.reduceat(pair_logp, starts).astype(np.float64)
+                if pair_logp.size
+                else np.zeros(n)
+            )
             n_pairs = np.maximum(lens - 1, 0)
             # reduceat quirk: empty segments return the element at start
             sums[n_pairs == 0] = 0.0
@@ -154,3 +201,19 @@ class PerplexityScorer:
             ppl = np.ones(n, dtype=np.float64)
 
         return batch.append_column("perplexity", pa.array(ppl, pa.float64()))
+
+
+class CombinedScorer:
+    """LangID + perplexity in ONE actor pool.
+
+    Halves actor spawns and removes an operator boundary vs two separate
+    pools — worth ~seconds of fixed cost per job at small scale; the two
+    standalone classes stay public for pipelines that need only one.
+    """
+
+    def __init__(self, content_col: str = "content"):
+        self.langid = LangIDScorer(content_col)
+        self.ppl = PerplexityScorer(content_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.ppl(self.langid(batch))

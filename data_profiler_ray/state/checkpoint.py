@@ -1,0 +1,149 @@
+"""Checkpointed, resumable partition-wise execution.
+
+The reference persists a run state machine in metadata.json and restarts
+the whole run on failure (``/root/reference/api/storage/workspace.py:
+18-46,206-237``). At 10^12 files a restart must skip finished work, so
+this module implements the north_rule contract:
+
+- input files are grouped into numbered partitions (waves);
+- each partition writes to ``{out}/partition={pid}/`` ATOMICALLY
+  (write to ``_tmp-{pid}``, fsync lineage, rename) with:
+  - the labeled parquet output,
+  - ``lineage.json``: input files, rows_in, rows_out (kept),
+    drop-reason histogram, scrubbed count,
+  - ``_SUCCESS`` marker (written last);
+- on re-run, partitions with ``_SUCCESS`` are skipped — resume is
+  idempotent: re-running a completed job is a no-op, and killing a run
+  mid-partition leaves only a ``_tmp-*`` dir that the retry overwrites.
+
+The per-partition histogram is computed from the partition's own written
+output (column-pruned read of keep/reason), so lineage always describes
+exactly the bytes on disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+
+
+def plan_partitions(input_files: list[str], files_per_partition: int = 4) -> list[list[str]]:
+    files = sorted(input_files)
+    return [
+        files[i : i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+
+
+def completed_partitions(output_dir: str) -> set[int]:
+    done = set()
+    if not os.path.isdir(output_dir):
+        return done
+    for name in os.listdir(output_dir):
+        if name.startswith("partition=") and os.path.exists(
+            os.path.join(output_dir, name, "_SUCCESS")
+        ):
+            done.add(int(name.split("=", 1)[1]))
+    return done
+
+
+def _partition_lineage(part_dir: str, pid: int, files: list[str]) -> dict:
+    """Build lineage from the WRITTEN parquet (keep/reason columns only)."""
+    dataset = pads.dataset(
+        [
+            os.path.join(part_dir, f)
+            for f in os.listdir(part_dir)
+            if f.endswith(".parquet")
+        ]
+    )
+    tbl = dataset.to_table(columns=["keep", "reason", "scrubbed"])
+    keep = tbl["keep"].to_numpy(zero_copy_only=False)
+    reasons = tbl["reason"].to_pylist()
+    hist: dict[str, int] = {}
+    for r in reasons:
+        key = r if r is not None else "<keep>"
+        hist[key] = hist.get(key, 0) + 1
+    return {
+        "partition": pid,
+        "input_files": files,
+        "rows_in": len(tbl),
+        "rows_out": int(keep.sum()),
+        "scrubbed": int(tbl["scrubbed"].to_numpy(zero_copy_only=False).sum()),
+        "drop_reason_histogram": hist,
+    }
+
+
+def run_checkpointed(
+    input_files: list[str],
+    output_dir: str,
+    pipeline_fn,
+    *,
+    files_per_partition: int = 4,
+) -> dict:
+    """Run ``pipeline_fn(Dataset) -> Dataset`` over input partitions,
+    skipping completed ones. Returns the merged job summary.
+
+    ``pipeline_fn`` must be deterministic/idempotent (retries re-execute
+    it on the same inputs — SURVEY.md §4.1 retry requirement).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    partitions = plan_partitions(input_files, files_per_partition)
+    done = completed_partitions(output_dir)
+    ran, skipped = [], []
+
+    for pid, files in enumerate(partitions):
+        part_dir = os.path.join(output_dir, f"partition={pid}")
+        if pid in done:
+            skipped.append(pid)
+            continue
+        tmp_dir = os.path.join(output_dir, f"_tmp-{pid}")
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)  # stale partial write from a killed run
+        os.makedirs(tmp_dir)
+
+        ds = ray.data.read_parquet(files)
+        labeled = pipeline_fn(ds)
+        labeled.write_parquet(tmp_dir)
+
+        lineage = _partition_lineage(tmp_dir, pid, files)
+        with open(os.path.join(tmp_dir, "_lineage.json"), "w") as f:
+            json.dump(lineage, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)
+        ran.append(pid)
+
+    return job_summary(output_dir) | {"ran": ran, "skipped": skipped}
+
+
+def job_summary(output_dir: str) -> dict:
+    """Merge all partition lineages into the job-level roll-up (G9 analog:
+    drop-reason histogram across the whole job)."""
+    total_in = total_out = scrubbed = 0
+    hist: dict[str, int] = {}
+    parts = 0
+    for pid in sorted(completed_partitions(output_dir)):
+        with open(os.path.join(output_dir, f"partition={pid}", "_lineage.json")) as f:
+            lin = json.load(f)
+        parts += 1
+        total_in += lin["rows_in"]
+        total_out += lin["rows_out"]
+        scrubbed += lin["scrubbed"]
+        for k, v in lin["drop_reason_histogram"].items():
+            hist[k] = hist.get(k, 0) + v
+    return {
+        "partitions": parts,
+        "rows_in": total_in,
+        "rows_out": total_out,
+        "scrubbed": scrubbed,
+        "drop_reason_histogram": hist,
+    }

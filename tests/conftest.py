@@ -17,10 +17,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from data_profiler_ray.util import tune_context
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    tune_context()
     yield
     ray.shutdown()
 

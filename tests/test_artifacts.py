@@ -1,0 +1,84 @@
+"""Artifact writers: metrics.csv 19-header format + CSV-injection
+sanitizer + profile.json numeric sanitization (reference S3/S4)."""
+
+import csv
+import json
+import math
+
+from data_profiler_ray.sinks.artifacts import (
+    CSV_HEADERS,
+    sanitize_csv_value,
+    sanitize_numeric_for_json,
+    write_metrics_csv,
+    write_profile_json,
+    write_report_html,
+)
+
+PROFILES = {
+    "Age": {
+        "inferred_type": "numeric",
+        "total_count": 10,
+        "null_count": 0,
+        "distinct_count": 10,
+        "confidence": 1.0,
+        "top_values": [("25", 2), ("30", 1)],
+        "numeric_stats": {"min_value": 25, "max_value": 80, "mean": 52.5,
+                          "median": 50.0, "stddev": float("nan")},
+        "string_stats": {"min_length": 2, "max_length": 2, "avg_length": 2.0},
+    },
+    "=danger": {
+        "inferred_type": "varchar",
+        "total_count": 5,
+        "null_count": 1,
+        "distinct_count": 4,
+        "confidence": 0.8,
+        "top_values": [("=cmd()", 3)],
+        "numeric_stats": {},
+        "string_stats": {},
+    },
+}
+
+
+def test_sanitize_csv_value():
+    # runs.py:1012-1036 — leading = + - @ escaped with '
+    assert sanitize_csv_value("=SUM(A1)") == "'=SUM(A1)"
+    assert sanitize_csv_value("+1") == "'+1"
+    assert sanitize_csv_value("-1") == "'-1"
+    assert sanitize_csv_value("@x") == "'@x"
+    assert sanitize_csv_value("ok") == "ok"
+    assert sanitize_csv_value(None) == ""
+    assert sanitize_csv_value(5) == "5"
+
+
+def test_sanitize_numeric_for_json():
+    v = {"a": float("inf"), "b": [float("nan"), 1.5], "c": {"d": -float("inf")}}
+    out = sanitize_numeric_for_json(v)
+    assert out == {"a": None, "b": [None, 1.5], "c": {"d": None}}
+
+
+def test_metrics_csv_format(tmp_path):
+    p = str(tmp_path / "metrics.csv")
+    write_metrics_csv(PROFILES, p)
+    with open(p, newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == CSV_HEADERS
+    assert len(rows) == 3
+    age = rows[1]
+    assert age[0] == "Age" and age[1] == "numeric"
+    assert age[13] == "25" and age[14] == "2"
+    danger = rows[2]
+    assert danger[0] == "'=danger"       # injected column name escaped
+    assert danger[13] == "'=cmd()"       # injected value escaped
+
+
+def test_profile_json_and_html(tmp_path):
+    jp = str(tmp_path / "profile.json")
+    write_profile_json(PROFILES, jp, meta={"rows": 10})
+    doc = json.load(open(jp))
+    assert doc["metadata"]["rows"] == 10
+    # NaN stddev became null, not a JSON parse error
+    assert doc["columns"]["Age"]["numeric_stats"]["stddev"] is None
+    hp = str(tmp_path / "report.html")
+    write_report_html(PROFILES, hp)
+    html = open(hp).read()
+    assert "Age" in html and "numeric" in html

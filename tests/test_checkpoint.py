@@ -1,0 +1,83 @@
+"""Checkpoint/lineage/resume: idempotent mid-run resume (north_rule)."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.quality_filter import build_quality_filter
+from data_profiler_ray.sources.synthetic import (
+    generate_code_table,
+    strip_oracle_columns,
+)
+from data_profiler_ray.state.checkpoint import (
+    completed_partitions,
+    job_summary,
+    run_checkpointed,
+)
+
+
+@pytest.fixture(scope="module")
+def input_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    table = strip_oracle_columns(generate_code_table(400, seed=21))
+    files = []
+    for i in range(8):
+        p = str(d / f"part-{i:03d}.parquet")
+        pq.write_table(table.slice(i * 50, 50), p)
+        files.append(p)
+    return files
+
+
+def _pipeline(ds):
+    return build_quality_filter(ds, with_scorers=False, with_dedup=False)
+
+
+def test_full_run_and_lineage(input_files, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    summary = run_checkpointed(input_files, out, _pipeline, files_per_partition=2)
+    assert summary["partitions"] == 4
+    assert summary["rows_in"] == 400
+    assert summary["ran"] == [0, 1, 2, 3]
+    assert sum(summary["drop_reason_histogram"].values()) == 400
+    lin = json.load(open(os.path.join(out, "partition=0", "_lineage.json")))
+    assert lin["rows_in"] == 100
+    assert set(lin["input_files"]) == set(input_files[:2])
+
+
+def test_resume_skips_completed(input_files, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    run_checkpointed(input_files, out, _pipeline, files_per_partition=2)
+    again = run_checkpointed(input_files, out, _pipeline, files_per_partition=2)
+    assert again["ran"] == []
+    assert again["skipped"] == [0, 1, 2, 3]
+
+
+def test_resume_after_partial_failure(input_files, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    run_checkpointed(input_files, out, _pipeline, files_per_partition=2)
+    baseline = job_summary(out)
+    # simulate a kill: destroy partition 2's marker + leave a stale tmp dir
+    shutil.rmtree(os.path.join(out, "partition=2"))
+    os.makedirs(os.path.join(out, "_tmp-2"))
+    with open(os.path.join(out, "_tmp-2", "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    assert completed_partitions(out) == {0, 1, 3}
+    resumed = run_checkpointed(input_files, out, _pipeline, files_per_partition=2)
+    assert resumed["ran"] == [2]
+    assert resumed["skipped"] == [0, 1, 3]
+    # byte-level idempotency: the job summary is identical after resume
+    assert job_summary(out) == baseline
+
+
+def test_output_readable_and_labeled(input_files, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    run_checkpointed(input_files, out, _pipeline, files_per_partition=4)
+    ds = ray.data.read_parquet(out)
+    df = ds.to_pandas()
+    assert len(df) == 400
+    assert {"keep", "reason", "content_sha256"}.issubset(df.columns)

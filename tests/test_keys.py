@@ -1,0 +1,63 @@
+"""Candidate-key scoring (keys.py semantics) + compound-key stats."""
+
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.keys import (
+    compound_key_stats,
+    suggest_candidate_keys,
+)
+
+
+def test_score_formula():
+    # score = distinct_ratio * (1 - null_ratio) — keys.py:67-96
+    stats = {
+        "id": {"distinct_count": 100, "total_count": 100, "null_count": 0},
+        "email": {"distinct_count": 95, "total_count": 100, "null_count": 5},
+        "status": {"distinct_count": 3, "total_count": 100, "null_count": 0},
+    }
+    out = suggest_candidate_keys(stats)
+    assert out[0]["columns"] == ["id"]
+    assert out[0]["score"] == pytest.approx(1.0)
+    assert out[1]["columns"] == ["email"]
+    assert out[1]["score"] == pytest.approx(0.95 * 0.95)
+    # low-cardinality column filtered by min_distinct_ratio
+    assert all(c["columns"] != ["status"] for c in out)
+
+
+def test_tiebreak_by_invalid_count():
+    stats = {
+        "a": {"distinct_count": 100, "total_count": 100, "null_count": 0, "invalid_count": 5},
+        "b": {"distinct_count": 100, "total_count": 100, "null_count": 0, "invalid_count": 0},
+    }
+    out = suggest_candidate_keys(stats)
+    assert out[0]["columns"] == ["b"]  # same score, fewer invalids first
+
+
+def test_compound_null_ratio_sum():
+    stats = {
+        "f": {"distinct_count": 50, "total_count": 100, "null_count": 10},
+        "l": {"distinct_count": 60, "total_count": 100, "null_count": 20},
+    }
+    pair = {("f", "l"): {"distinct_count": 100, "total_count": 100, "null_count": 0}}
+    out = suggest_candidate_keys(stats, pair_stats=pair)
+    pair_entry = next(c for c in out if c["columns"] == ["f", "l"])
+    assert pair_entry["null_ratio_sum"] == pytest.approx(0.3)
+    assert pair_entry["score"] == pytest.approx(1.0 * (1 - 0.3))
+
+
+def test_compound_key_stats_ray(ray_session):
+    t = pa.table(
+        {
+            "first": pa.array(["a", "a", "b", "b", None, "c"], pa.string()),
+            "last": pa.array(["x", "y", "x", "x", "z", ""], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    st = compound_key_stats(ds, ["first", "last"])
+    # rows with null/empty member skipped: row 4 (None) and row 5 ("")
+    assert st["null_count"] == 2
+    assert st["total_count"] == 6
+    # keys: ax, ay, bx, bx -> distinct 3
+    assert st["distinct_count"] == 3

@@ -1,0 +1,69 @@
+"""Multimodal plumbing: sniffing, header metadata, actor-pool stage,
+deterministic stub features, strict-stub error."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.stages.multimodal import (
+    FEATURE_DIM,
+    MediaDecodeStage,
+    media_pipeline,
+    parse_png_size,
+    sniff_media_type,
+    synth_media_table,
+)
+
+
+def test_sniffing():
+    assert sniff_media_type(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
+    assert sniff_media_type(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00WAVEdata") == "audio/wav"
+    assert sniff_media_type(b"RIFF\x10\x00\x00\x00AVI danger") == "video/avi"
+    assert sniff_media_type(b"\x00\x00\x00\x18ftypmp42") == "video/mp4"
+    assert sniff_media_type(b"garbage") == "application/octet-stream"
+
+
+def test_png_header_size():
+    import struct
+
+    payload = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480)
+    assert parse_png_size(payload) == (640, 480)
+    assert parse_png_size(b"\xff\xd8\xff") is None
+
+
+def test_stage_direct():
+    table = synth_media_table(30)
+    out = MediaDecodeStage()(table)
+    assert out["media_features"].type == pa.list_(pa.float32(), FEATURE_DIM)
+    types = set(out["media_type"].to_pylist())
+    assert {"image/png", "audio/wav", "image/jpeg"} == types
+    png_rows = [i for i, t in enumerate(out["media_type"].to_pylist()) if t == "image/png"]
+    assert all(out["media_w"][i].as_py() is not None for i in png_rows)
+    assert all(out["decode_ok"].to_pylist())
+
+
+def test_stub_features_deterministic():
+    table = synth_media_table(5)
+    a = MediaDecodeStage()(table)["media_features"].to_pylist()
+    b = MediaDecodeStage()(table)["media_features"].to_pylist()
+    assert a == b
+
+
+def test_strict_stub_raises():
+    table = synth_media_table(2)
+    with pytest.raises(NotImplementedError, match="stub"):
+        MediaDecodeStage(strict=True)(table)
+
+
+def test_media_pipeline_ray(ray_session):
+    ds = ray.data.from_arrow(synth_media_table(100)).repartition(2)
+    out = media_pipeline(ds, batch_size=16, concurrency=(1, 2))
+    df = out.to_pandas()
+    assert len(df) == 100
+    assert {"media_type", "media_w", "media_features", "decode_ok"}.issubset(df.columns)
+    # feature vectors flow into downstream ANN unchanged
+    first = np.asarray(df["media_features"].iloc[0])
+    assert first.shape == (FEATURE_DIM,)
+    assert abs(np.linalg.norm(first) - 1.0) < 1e-5

@@ -1,0 +1,118 @@
+"""Near-dup family: MinHash-LSH, SimHash, exact Jaccard, embedding cosine,
+plus brute-force KNN vs numpy ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.neardup import (
+    embedding_near_dup_bruteforce,
+    embedding_near_dup_lsh,
+    exact_jaccard_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_dedup,
+    simhash_pairs,
+    simhash64,
+)
+from data_profiler_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+
+
+def _docs_table():
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i:03d}" for i in range(400)]  # large vocab: random docs
+    texts = []                                    # share few shingles
+    for i in range(30):
+        texts.append(" ".join(rng.choice(vocab, size=40)))
+    # plant near-dups: 30/31 and 32/33 share almost all content
+    texts.append(texts[0] + " extra")
+    texts.append(" ".join(rng.choice(vocab, size=40)))
+    texts.append(texts[-1].replace("alpha", "omega", 1))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.from_arrow(_docs_table()).repartition(3)
+
+
+def test_minhash_finds_planted_pairs(docs_ds):
+    pairs = minhash_lsh_pairs(docs_ds, threshold=0.5, bands=16, num_perm=64)
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 30) in found
+    assert (31, 32) in found
+    # unrelated random docs must not pass the 0.5 estimate threshold
+    assert found == {(0, 30), (31, 32)}
+
+
+def test_exact_jaccard_verification(docs_ds):
+    cand = pd.DataFrame({"id_a": [0, 1], "id_b": [30, 2]})
+    out = exact_jaccard_pairs(docs_ds, cand)
+    j_dup = out[(out.id_a == 0) & (out.id_b == 30)].jaccard.iloc[0]
+    j_rand = out[(out.id_a == 1) & (out.id_b == 2)].jaccard.iloc[0]
+    assert j_dup > 0.8
+    assert j_rand < 0.5
+
+
+def test_ngram_jaccard_dedup(docs_ds):
+    out = ngram_jaccard_dedup(docs_ds, threshold=0.8)
+    found = set(zip(out.id_a, out.id_b))
+    assert (0, 30) in found
+
+
+def test_simhash_deterministic_and_pairs(docs_ds):
+    assert simhash64("hello world") == simhash64("hello world")
+    pairs = simhash_pairs(docs_ds, max_hamming=10)
+    found = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 30) in found or (31, 32) in found
+
+
+def _emb_table(n=60, dim=16, seed=4):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim))
+    m[20] = m[10] + 0.01 * rng.standard_normal(dim)  # planted near-dup
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m], pa.list_(pa.float32())),
+        }
+    ), m
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    t, m = _emb_table()
+    return ray.data.from_arrow(t).repartition(3), m
+
+
+def test_knn_bruteforce_matches_numpy(emb):
+    ds, m = emb
+    m32 = m.astype(np.float32).astype(np.float64)
+    q = m32[5]
+    norm = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = norm @ (q / np.linalg.norm(q))
+    expect = np.argsort(-sims, kind="stable")[:5]
+    out = knn_bruteforce(ds, q, k=5)
+    assert list(out.vec_id) == list(expect)
+
+
+def test_knn_lsh_recall(emb):
+    ds, m = emb
+    q = m[10].astype(np.float32).astype(np.float64)
+    out = knn_lsh(ds, q, k=3, n_tables=12, n_bits=6)
+    # the planted near-parallel pair must surface
+    assert {10, 20}.issubset(set(out.vec_id))
+
+
+def test_embedding_near_dup(emb):
+    ds, _ = emb
+    bf = embedding_near_dup_bruteforce(ds, tau=0.99)
+    assert (10, 20) in set(zip(bf.id_a, bf.id_b))
+    lsh = embedding_near_dup_lsh(ds, tau=0.99, n_tables=12, n_bits=4)
+    assert (10, 20) in set(zip(lsh.id_a, lsh.id_b))

@@ -1,0 +1,146 @@
+"""Distributed column profiler over reference-style fixtures
+(FIXTURES.md §B/§C semantics) + exact quantiles/histogram parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.profiler import (
+    exact_quantiles,
+    numeric_histogram,
+    profile_table,
+    value_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_ds(ray_session):
+    # mirrors the reference conftest "basic/money/dates" fixtures
+    table = pa.table(
+        {
+            "ID": pa.array([str(i) for i in range(1, 13)], pa.string()),
+            "Name": pa.array(
+                ["Alice", "Bob", "Charlie", "Dave", "Eve", "Frank",
+                 "Grace", "Heidi", "Ivan", "Judy", "Ken", "Lori"],
+                pa.string(),
+            ),
+            "Status": pa.array(["A", "B"] * 6, pa.string()),
+            "Salary": pa.array(
+                ["50000.00", "60000.00", "$70000.00", "80000.00", "90000.5",
+                 "100000.00", "110000.00", "120000.00", "130000.00",
+                 "140000.00", "150000.00", ""],
+                pa.string(),
+            ),
+            "Hired": pa.array(
+                ["20200101", "20200215", "20210310", "20210425", "20220530",
+                 "20220615", "20230701", "20230815", "20231001", "20240115",
+                 "", "20240301"],
+                pa.string(),
+            ),
+            "Age": pa.array(
+                ["25", "30", "35", "40", "45", "50", "55", "60", "65",
+                 "70", "75", "80"],
+                pa.string(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(table).repartition(3)
+
+
+@pytest.fixture(scope="module")
+def profiles(fixture_ds):
+    return profile_table(fixture_ds)
+
+
+def test_inferred_types(profiles):
+    assert profiles["Age"]["inferred_type"] == "numeric"
+    assert profiles["Salary"]["inferred_type"] == "money"
+    assert profiles["Hired"]["inferred_type"] == "date"
+    assert profiles["Hired"]["detected_format"] == "YYYYMMDD"
+    assert profiles["Name"]["inferred_type"] in ("alpha", "varchar")
+    assert profiles["Status"]["inferred_type"] == "code"
+
+
+def test_distinct_and_nulls(profiles):
+    assert profiles["ID"]["distinct_count"] == 12
+    assert profiles["Status"]["distinct_count"] == 2
+    assert profiles["Salary"]["null_count"] == 1
+    assert profiles["Hired"]["null_count"] == 1
+    # duplicate_count = total - distinct - nulls (distincts.py:45-52)
+    assert profiles["Status"]["duplicate_count"] == 12 - 2 - 0
+
+
+def test_numeric_stats_exact(profiles):
+    st = profiles["Age"]["numeric_stats"]
+    vals = np.arange(25, 81, 5, dtype=float)
+    assert st["valid_count"] == 12
+    assert st["min_value"] == 25 and st["max_value"] == 80
+    assert st["mean"] == pytest.approx(vals.mean())
+    assert st["stddev"] == pytest.approx(vals.std(ddof=1))
+
+
+def test_money_stats(profiles):
+    ms = profiles["Salary"]["money_stats"]
+    assert ms["valid_count"] == 9  # excludes $70000.00, 90000.5, null
+    assert ms["violations_by_type"]["dollar_sign"] == 1
+    assert ms["violations_by_type"]["wrong_decimals"] == 1
+    assert ms["min_value"] == 50000.00
+    assert ms["max_value"] == 150000.00
+
+
+def test_date_stats(profiles):
+    st = profiles["Hired"]["date_stats"]
+    assert st["valid_count"] == 11
+    assert st["min_date"] == "20200101"
+    assert st["max_date"] == "20240301"
+    assert st["distribution_by_year"]["2020"] == 2
+    assert st["format_consistent"] is True
+
+
+def test_top_values_and_distribution(profiles):
+    top = dict(profiles["Status"]["top_values"])
+    assert top == {"A": 6, "B": 6}
+    assert profiles["Status"]["value_distribution"] == {"A": 6, "B": 6}
+
+
+def test_value_counts_options(ray_session):
+    t = pa.table({"x": pa.array([" a", "A ", "a", "b", ""], pa.string())})
+    ds = ray.data.from_arrow(t)
+    cs = value_counts(ds, ["x"], trim=True, case_sensitive=False).to_pandas()
+    m = dict(zip(cs["value"], cs["cnt"]))
+    assert m == {"a": 3, "b": 1}
+    cs2 = value_counts(ds, ["x"], trim=False, case_sensitive=True).to_pandas()
+    assert len(cs2) == 4  # " a", "A ", "a", "b"
+
+
+def test_exact_quantiles_linear_interp(ray_session):
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 1000, size=1117)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+    q = exact_quantiles(ds, "v")
+    for p in (1, 5, 25, 50, 75, 95, 99):
+        assert q[f"p{p}"] == pytest.approx(
+            np.percentile(vals, p, method="linear"), rel=1e-12
+        )
+
+
+def test_exact_quantiles_string_mode(ray_session):
+    vals = ["1", "2", "3", "4", "bad", ""]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    q = exact_quantiles(ds, "v", percentiles=(50,), parse_strings=True)
+    assert q["p50"] == 2.5
+
+
+def test_numeric_histogram_reference_labels(ray_session):
+    vals = np.arange(0, 100, dtype=float)  # 0..99
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    h = numeric_histogram(ds, "v")
+    assert sum(h.values()) == 100
+    assert h["0.00-9.90"] == 10
+    # max value lands in the last bin (profile.py:349-350)
+    assert h["89.10-99.00"] == 10
+    # single-value column
+    ds1 = ray.data.from_pandas(pd.DataFrame({"v": [7.0, 7.0]}))
+    assert numeric_histogram(ds1, "v") == {"7.0": 2}

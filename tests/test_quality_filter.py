@@ -24,7 +24,7 @@ from data_profiler_ray.sources.synthetic import (
 def labeled_and_oracle(ray_session):
     oracle = generate_code_table(1200, seed=42)
     ds = ray.data.from_arrow(strip_oracle_columns(oracle)).repartition(4)
-    labeled = build_quality_filter(ds, scorer_concurrency=2)
+    labeled = build_quality_filter(ds, scorer_concurrency=(1, 2))
     return labeled.to_pandas(), oracle.to_pandas()
 
 
@@ -72,7 +72,7 @@ def test_scrub_flag_agreement(labeled_and_oracle):
 def test_drop_reason_histogram(ray_session):
     oracle = generate_code_table(300, seed=9)
     ds = ray.data.from_arrow(strip_oracle_columns(oracle))
-    labeled = build_quality_filter(ds, with_scorers=False, scorer_concurrency=2)
+    labeled = build_quality_filter(ds, with_scorers=False, scorer_concurrency=(1, 2))
     hist = drop_reason_histogram(labeled)
     assert hist.cnt.sum() == 300
     assert "<keep>" in set(hist.reason)

@@ -1,0 +1,60 @@
+"""Text-analysis functions: token counts, quality features, winnowing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from data_profiler_ray.functions.textstats import (
+    fingerprint_overlap,
+    quality_features,
+    token_counts,
+    winnowing_fingerprints,
+)
+
+
+def T(texts):
+    return pa.table({"text": pa.array(texts, pa.string())})
+
+
+def test_token_counts():
+    out = token_counts(T(["hello world", "", "a,b c", "  x  "])["text"].combine_chunks())
+    assert list(out["n_tokens_ws"]) == [2, 0, 2, 1]
+    # bpe: hello/world=2 ; a , b c = 4 ; x = 1
+    assert list(out["n_tokens_bpe"]) == [2, 0, 4, 1]
+
+
+def test_quality_features_natural_vs_junk():
+    natural = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for running in the park with friends to see the sights"
+    )
+    junk = "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ 123456789 000000"
+    out = quality_features(T([natural, junk]))
+    scores = out["quality_score"].to_pylist()
+    assert scores[0] > 0.9
+    assert scores[1] < 0.6
+    assert scores[0] - scores[1] > 0.3
+    assert out["stopword_ratio"].to_pylist()[0] > 0.2
+    assert out["punct_ratio"].to_pylist()[1] > 0.3
+
+
+def test_quality_features_empty():
+    out = quality_features(T(["", None]))
+    assert len(out) == 2
+    assert all(0.0 <= s <= 1.0 for s in out["quality_score"].to_pylist())
+
+
+def test_winnowing_deterministic_and_local():
+    a = "the quick brown fox jumps over the lazy dog" * 3
+    f1 = winnowing_fingerprints(a)
+    f2 = winnowing_fingerprints(a)
+    assert np.array_equal(f1, f2)
+    assert len(f1) > 0
+
+
+def test_fingerprint_overlap_detects_containment():
+    base = "def compute(x):\n    return x * 2 + 17\n" * 5
+    other = "class Foo:\n    pass\n" * 8
+    combined = base + other
+    assert fingerprint_overlap(base, combined) > 0.95
+    assert fingerprint_overlap(base, other) < 0.2

@@ -1,0 +1,177 @@
+"""Type-inference parity: hard-coded expectations from the reference test
+suite (FIXTURES.md §E, reference tests/test_type_inference.py) plus a
+differential battery against the reference implementation itself."""
+
+import sys
+
+import pytest
+
+from data_profiler_ray.functions.typing import infer_type
+
+
+def t(values):
+    return infer_type(values)["inferred_type"]
+
+
+class TestHardcodedSemantics:
+    def test_numeric(self):
+        assert t(["123", "456.78", "999"]) == "numeric"
+
+    def test_money(self):
+        assert t(["100.00", "250.50", "99.99"]) == "money"
+
+    def test_date_yyyymmdd_preferred(self):
+        r = infer_type(["20221109", "20230115", "20220301"])
+        assert r["inferred_type"] == "date"
+        assert r["detected_format"] == "YYYYMMDD"
+
+    def test_date_iso(self):
+        r = infer_type(["2022-11-09", "2023-01-15", "2022-03-01"])
+        assert r["inferred_type"] == "date"
+        assert r["detected_format"] == "YYYY-MM-DD"
+
+    def test_alpha(self):
+        assert t(["Alice", "Bob", "Charlie"]) in ("alpha", "varchar")
+
+    def test_unknown_all_null(self):
+        assert t(["", "  ", None]) == "unknown"
+
+    def test_mixed(self):
+        # alternate numeric/alpha, each >= 20%, none >= 66%
+        assert t(["1", "abc", "2", "def", "3", "ghi"]) == "mixed"
+
+    def test_code_low_cardinality(self):
+        vals = ["A", "B", "A", "B", "A", "B", "A", "B", "A", "B"]
+        assert t(vals) == "code"
+
+    def test_numeric_zero_variants(self):
+        # FIXTURES.md §E: 0, 0.0, 0.00 valid numeric (0.00 is money-shaped)
+        assert t(["0", "1", "17"]) == "numeric"
+
+    def test_invalid_numeric_shapes(self):
+        # .5, 5., +5, -5 are NOT numeric (types.py:81 anchors digits first)
+        assert t([".5", "5.", "+5", "-5"]) != "numeric"
+
+    def test_leap_dates(self):
+        r = infer_type(["20240229", "20230301", "20220115"])
+        assert r["inferred_type"] == "date"
+        # invalid leap date does NOT count as date
+        p = infer_type(["20230229", "20230229", "20230229"])
+        assert p["inferred_type"] != "date"
+
+    def test_money_with_violations_still_money_intent(self):
+        # $ and comma variants vote money when cleaned has 2 decimals
+        r = infer_type(["$100.00", "1,250.50", "99.99", "88.88"])
+        assert r["inferred_type"] == "money"
+
+    def test_wrong_decimals_mixed(self):
+        # some exact money, some numeric with wrong decimal counts ⇒
+        # "money intent with numeric values" path (types.py:347-368)
+        r = infer_type(["100.00", "250.5", "99.999", "88.88"])
+        assert r["inferred_type"] == "mixed"
+
+
+REFERENCE_API = "/root/reference/api"
+
+
+@pytest.fixture(scope="module")
+def reference_inferrer():
+    sys.path.insert(0, REFERENCE_API)
+    try:
+        from services.types import TypeInferrer  # type: ignore
+
+        yield TypeInferrer
+    except ImportError:
+        pytest.skip("reference not importable")
+    finally:
+        sys.path.remove(REFERENCE_API)
+
+
+BATTERY = [
+    ["123", "456", "789"],
+    ["1.5", "2.25", "3"],
+    ["100.00", "200.00", "300.00"],
+    ["$1.00", "2.00", "3.00"],
+    ["$1", "2", "3"],
+    ["(5.00)", "6.00", "7.00"],
+    ["1,000", "2,000", "3,000"],
+    ["1,000.00", "2000.00", "3,000.00"],
+    ["20220101", "20221231", "20220615"],
+    ["2022-01-01", "2022-12-31", "20220615"],
+    ["01/02/2022", "12/31/2022", "06/15/2022"],
+    ["31/01/2022", "31/12/2022", "15/06/2022"],  # DD/MM-style (invalid MM/DD)
+    ["abc", "def", "ghi"],
+    ["abc", "123", "def", "456"],
+    ["a b c", "d e f", "g h i"],
+    ["x", "", "y", "", "z", ""],
+    ["", "", ""],
+    ["A", "A", "B", "B", "A", "B", "A", "B"],
+    ["0", "0.0", "0.00"],
+    [".5", "5.", "+5", "-5", "5"],
+    ["99.999", "88.888", "77.777"],
+    ["1.23", "4.56", "x7.89"],
+    ["  42  ", "17", " 9 "],
+    ["20230229", "20230228", "20230227"],  # one invalid leap date
+    ["Jan 5 2020", "Feb 6 2021", "Mar 7 2022"],
+    ["12.34", "56.78", "90.12", "3456"],
+    ["12.34", "56.78", "90.12", "34.5"],
+    ["código", "naïve", "Zürich"],
+    ["1e5", "2e6", "3e7"],
+    ["0001", "0002", "0003"],
+    ["10000000", "20000000", "19991231"],  # date-shaped vs numeric tension
+]
+
+
+def test_differential_fuzz_vs_reference(reference_inferrer):
+    """Deterministic fuzz: random mixtures of value shapes must classify
+    identically to the reference."""
+    import random
+
+    rng = random.Random(20260817)
+    shapes = [
+        lambda: str(rng.randint(0, 10**8)),
+        lambda: f"{rng.uniform(0, 1e4):.2f}",
+        lambda: f"{rng.uniform(0, 1e4):.{rng.randint(0,5)}f}",
+        lambda: f"${rng.uniform(0, 1e4):.2f}",
+        lambda: f"{rng.randint(1,9)},{rng.randint(100,999)}.{rng.randint(10,99)}",
+        lambda: f"({rng.uniform(0, 100):.2f})",
+        lambda: f"{rng.randint(1990, 2030)}{rng.randint(1,12):02d}{rng.randint(1,31):02d}",
+        lambda: f"{rng.randint(1990, 2030)}-{rng.randint(1,12):02d}-{rng.randint(1,31):02d}",
+        lambda: f"{rng.randint(1,12):02d}/{rng.randint(1,31):02d}/{rng.randint(1990,2030)}",
+        lambda: "".join(rng.choice("abcdefgXYZ") for _ in range(rng.randint(1, 8))),
+        lambda: "".join(rng.choice("abc 123 .$,") for _ in range(rng.randint(1, 10))),
+        lambda: "",
+        lambda: "  ",
+        lambda: rng.choice(["A", "B", "C"]),
+    ]
+    inferrer = reference_inferrer()
+    for trial in range(150):
+        k = rng.randint(1, 4)
+        chosen = [rng.choice(shapes) for _ in range(k)]
+        n = rng.randint(1, 40)
+        vals = [rng.choice(chosen)() for _ in range(n)]
+        ref = inferrer.infer_type(list(vals))
+        mine = infer_type(list(vals))
+        ref_type = ref.inferred_type if ref.inferred_type is not None else "varchar"
+        assert mine["inferred_type"] == ref_type, (
+            f"trial {trial}: {vals}: mine={mine['inferred_type']} ref={ref_type}"
+        )
+        assert mine["null_count"] == ref.null_count, vals
+        assert mine["error_count"] == ref.error_count, vals
+
+
+def test_differential_vs_reference(reference_inferrer):
+    inferrer = reference_inferrer()
+    for vals in BATTERY:
+        ref = inferrer.infer_type(list(vals))
+        mine = infer_type(list(vals))
+        ref_type = ref.inferred_type if ref.inferred_type is not None else "varchar"
+        assert mine["inferred_type"] == ref_type, (
+            f"{vals}: mine={mine['inferred_type']} ref={ref.inferred_type}"
+        )
+        if ref_type == "date" and ref.detected_format:
+            assert mine["detected_format"] == ref.detected_format, vals
+        assert mine["null_count"] == ref.null_count, vals
+        assert mine["error_count"] == ref.error_count, (
+            f"{vals}: mine err={mine['error_count']} ref={ref.error_count}"
+        )

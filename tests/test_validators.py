@@ -1,0 +1,149 @@
+"""Money/date validator parity — differential against the reference
+implementations plus merge-invariance checks."""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from data_profiler_ray.functions.validators import (
+    MoneyPartial,
+    detect_date_format_batch,
+    finalize_date_detection,
+    finalize_date_stats,
+    validate_dates_batch,
+    validate_money_batch,
+)
+
+REFERENCE_API = "/root/reference/api"
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    sys.path.insert(0, REFERENCE_API)
+    try:
+        from services import profile  # type: ignore
+
+        yield profile
+    except ImportError:
+        pytest.skip("reference not importable")
+    finally:
+        sys.path.remove(REFERENCE_API)
+
+
+MONEY_CASES = [
+    ["100.00", "250.50", "99.99"],
+    ["$100.00", "1,250.50", "(99.99)", "1000"],
+    ["", "  ", "50.00"],
+    ["abc", "1.2.3", "10.0", "10.000"],
+    ["0.00", "999999.99"],
+    ["1.5", "2", "3.00", "$4"],
+    [],
+]
+
+
+def test_money_differential(ref_mod):
+    for vals in MONEY_CASES:
+        ref = ref_mod.MoneyValidator().validate_column(list(vals))
+        mine = validate_money_batch(pa.array(vals, pa.string())).to_result()
+        assert mine["total_count"] == ref.total_count, vals
+        assert mine["valid_count"] == ref.valid_count, vals
+        assert mine["invalid_count"] == ref.invalid_count, vals
+        assert mine["null_count"] == ref.null_count, vals
+        assert mine["two_decimal_ok"] == ref.two_decimal_ok, vals
+        assert mine["disallowed_symbols_found"] == ref.disallowed_symbols_found, vals
+        assert mine["violations_by_type"] == dict(ref.violations_by_type), vals
+        assert mine["min_value"] == ref.min_value, vals
+        assert mine["max_value"] == ref.max_value, vals
+
+
+def test_money_merge_invariance():
+    vals = ["$1.00", "2.00", "x", "", "3.5", "4.00", "1,000", "(9.99)"]
+    whole = validate_money_batch(pa.array(vals, pa.string()))
+    a = validate_money_batch(pa.array(vals[:3], pa.string()))
+    b = validate_money_batch(pa.array(vals[3:], pa.string()))
+    merged = a.merge(b)
+    assert merged.valid_count == whole.valid_count
+    assert merged.invalid_count == whole.invalid_count
+    assert merged.violations_by_type == whole.violations_by_type
+    assert merged.min_value == whole.min_value
+    assert merged.max_value == whole.max_value
+
+
+DATE_CASES = [
+    ["20220101", "20221231", "20220615"],
+    ["2022-01-01", "2022-12-31", "2022-06-15"],
+    ["01/15/2022", "12/31/2022", "06/15/2022"],
+    ["31/01/2022", "28/02/2022", "15/06/2022"],  # DD/MM-only values
+    ["20220101", "2022-01-02", "20220103"],       # mixed formats
+    ["18991231", "20300101", "", "20220615"],     # out-of-range + null
+    ["2022-01-01 10:30:00", "2022-01-02 23:59:59"],
+    ["notadate", "alsonot", ""],
+    ["20230229", "20230301"],                     # invalid leap
+    [],
+]
+
+
+def _my_date_stats(vals):
+    arr = pa.array(vals, pa.string())
+    det = finalize_date_detection(detect_date_format_batch(arr))
+    part = validate_dates_batch(arr, det["detected_format"] or "")
+    # match reference behavior when no format detected
+    if det["detected_format"] is None:
+        return {
+            "count": len(vals),
+            "null_count": det["null_count"],
+            "valid_count": 0,
+            "invalid_count": len(vals) - det["null_count"],
+            "detected_format": None,
+            "format_consistent": False,
+        }
+    return finalize_date_stats(part, det)
+
+
+def test_date_differential(ref_mod):
+    for vals in DATE_CASES:
+        ref = ref_mod.DateValidator().validate_column(list(vals))
+        mine = _my_date_stats(vals)
+        assert mine["count"] == ref.count, vals
+        assert mine["null_count"] == ref.null_count, vals
+        assert mine["valid_count"] == ref.valid_count, vals
+        assert mine["invalid_count"] == ref.invalid_count, vals
+        assert mine["detected_format"] == ref.detected_format, (
+            f"{vals}: mine={mine['detected_format']} ref={ref.detected_format}"
+        )
+        assert mine["format_consistent"] == ref.format_consistent, vals
+        if ref.detected_format:
+            assert mine["min_date"] == ref.min_date, vals
+            assert mine["max_date"] == ref.max_date, vals
+            assert mine["span_days"] == ref.span_days, vals
+            assert mine["out_of_range_count"] == ref.out_of_range_count, vals
+            assert mine["distribution_by_month"] == ref.distribution_by_month, vals
+            assert mine["distribution_by_year"] == ref.distribution_by_year, vals
+            assert mine["distribution_by_dow"] == ref.distribution_by_dow, vals
+
+
+def test_date_merge_invariance():
+    vals = ["20220101", "20221231", "", "20220615", "bad", "18991231"]
+    arr = pa.array(vals, pa.string())
+    det = finalize_date_detection(detect_date_format_batch(arr))
+    whole = validate_dates_batch(arr, det["detected_format"])
+    a = validate_dates_batch(pa.array(vals[:3], pa.string()), det["detected_format"])
+    b = validate_dates_batch(pa.array(vals[3:], pa.string()), det["detected_format"])
+    m = a.merge(b)
+    assert m.valid_count == whole.valid_count
+    assert m.min_ymd == whole.min_ymd
+    assert m.max_ymd == whole.max_ymd
+    assert m.by_month == whole.by_month
+    assert m.by_dow == whole.by_dow
+
+
+def test_date_detect_merge_invariance():
+    vals = ["20220101", "2022-01-02", "20220103", "01/15/2022"]
+    whole = detect_date_format_batch(pa.array(vals, pa.string()))
+    a = detect_date_format_batch(pa.array(vals[:2], pa.string()))
+    b = detect_date_format_batch(pa.array(vals[2:], pa.string()))
+    m = a.merge(b)
+    assert (m.fmt_counts == whole.fmt_counts).all()
+    assert finalize_date_detection(m) == finalize_date_detection(whole)
