@@ -71,7 +71,8 @@ def bench_flagship() -> dict:
             shutil.rmtree(out)
         t0 = time.perf_counter()
         ds = ray.data.read_parquet(corpus)
-        labeled = build_quality_filter(ds, scorer_concurrency=pool, batch_size=2048)
+        labeled = build_quality_filter(ds, scorer_concurrency=pool, batch_size=2048,
+                                       execution=os.environ.get("GRAFT_EXECUTION", "tasks"))
         labeled.write_parquet(out)
         return time.perf_counter() - t0
 
@@ -114,11 +115,37 @@ def bench_queries() -> dict:
     return out
 
 
-def run_scaling() -> dict:
+def bench_control() -> dict:
+    """Environment-control pass: read the corpus and apply ONE trivial
+    vectorized kernel (utf8_length). Any efficiency this pass loses
+    between 8 and 32 CPUs is the sandbox's ceiling (globally-serialized
+    page faults / object-store traffic), not the engine's."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from data_profiler_ray.sources.synthetic import corpus_parquet_path
+
+    corpus = corpus_parquet_path(CORPUS_FILES, seed=42)
+    ray.data.read_parquet(corpus).count()  # warm
+
+    def touch(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pc.utf8_length(b["content"])})
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ray.data.read_parquet(corpus).map_batches(touch, batch_format="pyarrow").count()
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    return {"control_sec": round(sec, 3), "control_files_per_sec": round(CORPUS_FILES / sec, 1)}
+
+
+def run_scaling(mode: str = "--headline-only") -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            [sys.executable, os.path.abspath(__file__), mode],
             env=env,
             capture_output=True,
             text=True,
@@ -127,18 +154,21 @@ def run_scaling() -> dict:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
+    key = "files_per_sec" if mode == "--headline-only" else "control_files_per_sec"
+    sec_key = "flagship_sec" if mode == "--headline-only" else "control_sec"
     lo, hi = 8, 32
     r_lo = run_at(lo)
     r_hi = run_at(hi)
-    eff = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / (hi / lo)
+    eff = (r_hi[key] / r_lo[key]) / (hi / lo)
+    label = "flagship" if mode == "--headline-only" else "control (read+trivial map)"
     out = {
-        "metric": "scaling efficiency (files/sec at 8 vs 32 cpus)",
-        "sec_8": r_lo["flagship_sec"],
-        "sec_32": r_hi["flagship_sec"],
-        "files_per_sec_8": r_lo["files_per_sec"],
-        "files_per_sec_32": r_hi["files_per_sec"],
+        "metric": f"scaling efficiency, {label} (files/sec at 8 vs 32 cpus)",
+        "sec_8": r_lo[sec_key],
+        "sec_32": r_hi[sec_key],
+        "files_per_sec_8": r_lo[key],
+        "files_per_sec_32": r_hi[key],
         "scaling_efficiency": round(eff, 3),
-        "files": r_lo["files"],
+        "files": CORPUS_FILES,
     }
     print(json.dumps(out))
     return out
@@ -147,6 +177,16 @@ def run_scaling() -> dict:
 def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--scaling-control" in sys.argv:
+        run_scaling("--control-only")
+        return
+    if "--control-only" in sys.argv:
+        _init_ray()
+        import ray
+
+        print(json.dumps(bench_control()))
+        ray.shutdown()
         return
     _init_ray()
     import ray

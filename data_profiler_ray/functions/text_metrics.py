@@ -70,14 +70,25 @@ def _count_byte_class(content: pa.Array, table: np.ndarray) -> np.ndarray:
 def sha256_hex(arr: pa.Array) -> pa.Array:
     """Per-row sha256 hex digest of a string/binary array.
 
-    hashlib is C-backed; the loop cost is dominated by hashing throughput.
-    (Reference hashes values with sha256 for its audit log / key index:
-    ``keys.py:350-364``, ``DATA_MODEL.md:378-396``.)
+    hashlib is C-backed and fed zero-copy memoryview slices of the Arrow
+    values buffer — no per-row bytes-object copies. (Reference hashes
+    values with sha256 for its audit log / key index: ``keys.py:350-364``,
+    ``DATA_MODEL.md:378-396``.)
     """
-    binary = pc.cast(arr, pa.large_binary())
+    binary = pc.cast(pc.fill_null(arr, ""), pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    n = len(binary)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    view = memoryview(buf) if buf is not None else memoryview(b"")
     out = [
-        None if v is None else hashlib.sha256(v.as_py()).hexdigest()
-        for v in binary
+        hashlib.sha256(view[offsets[i] : offsets[i + 1]]).hexdigest()
+        for i in range(n)
     ]
     return pa.array(out, type=pa.string())
 
@@ -124,6 +135,46 @@ def _reduceat_safe(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     out = op.reduceat(values, clamped)
     out[seg_len == 0] = 0
     return out
+
+
+def _segment_hashes(flat: pa.Array) -> np.ndarray:
+    """uint64 polynomial hash per element of a string array, computed
+    fully vectorized from the Arrow values buffer — no Python string
+    objects (the previous to_pandas + hash_array path allocated one
+    PyObject per LINE, tens of millions per corpus pass)."""
+    binary = pc.cast(flat, pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    n = len(binary)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    lens = np.diff(offsets)
+    if buf is None or offsets[-1] == offsets[0]:
+        return lens.astype(np.uint64)  # all-empty: hash by length (=0)
+    # operate on the value region only (handles sliced/offset buffers)
+    region = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    rel_starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    base = np.uint64(1099511628211)
+    max_len = int(lens.max())
+    pows = np.empty(max_len, dtype=np.uint64)
+    pows[0] = 1
+    if max_len > 1:
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(max_len - 1, base, dtype=np.uint64), out=pows[1:])
+    # local position of each byte within its segment
+    pos = np.arange(region.size, dtype=np.int64) - np.repeat(rel_starts, lens)
+    with np.errstate(over="ignore"):
+        prod = region.astype(np.uint64) * pows[pos]
+        starts = np.minimum(rel_starts, region.size - 1)
+        h = np.add.reduceat(prod, starts)
+        h[lens == 0] = 0
+        # mix in the length so "a" and "a\x00..." prefixes differ
+        h = h * np.uint64(0x9E3779B97F4A7C15) + lens.astype(np.uint64)
+    return h
 
 
 def line_ending_counts(content: pa.Array) -> dict[str, pa.Array]:
@@ -198,11 +249,7 @@ def line_metrics(content: pa.Array) -> dict[str, np.ndarray]:
     row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), n_lines)
     r = row_ids[nonblank_mask]
     if len(r):
-        import pandas as pd
-
-        h = pd.util.hash_array(
-            np.asarray(flat.to_pandas(), dtype=object)[nonblank_mask]
-        ).astype(np.uint64)
+        h = _segment_hashes(flat)[nonblank_mask]
         order = np.lexsort((h, r))
         rs, hs = r[order], h[order]
         new_pair = np.ones(len(rs), dtype=bool)

@@ -51,16 +51,53 @@ def _rowkey(batch: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(batch["repo"], batch["path"], "\x00")
 
 
+def _hex_to_h1h2(sha_hex: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """First 16 bytes of hex sha256 digests as two int64 columns —
+    compact dedup keys (8+8 B instead of a 64-char string)."""
+    n = len(sha_hex)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    blob = bytes.fromhex("".join(s[:32] for s in sha_hex))
+    mat = np.frombuffer(blob, dtype=">i8").reshape(n, 2)
+    return mat[:, 0].astype(np.int64), mat[:, 1].astype(np.int64)
+
+
 def _sha_projection(batch: pa.Table) -> pa.Table:
-    sha = sha256_hex(batch["content"])
-    return pa.table({"content_sha256": sha, "rowkey": _rowkey(batch)})
+    import hashlib
+
+    content = pc.cast(pc.fill_null(batch["content"], ""), pa.large_binary())
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    n = len(content)
+    offsets = np.frombuffer(content.buffers()[1], dtype=np.int64)[
+        content.offset : content.offset + n + 1
+    ]
+    buf = content.buffers()[2]
+    view = memoryview(buf) if buf is not None else memoryview(b"")
+    digests = b"".join(
+        hashlib.sha256(view[offsets[i] : offsets[i + 1]]).digest()[:16]
+        for i in range(n)
+    )
+    mat = (
+        np.frombuffer(digests, dtype=">i8").reshape(n, 2)
+        if n
+        else np.zeros((0, 2), np.int64)
+    )
+    return pa.table(
+        {
+            "h1": pa.array(mat[:, 0].astype(np.int64)),
+            "h2": pa.array(mat[:, 1].astype(np.int64)),
+            "rowkey": _rowkey(batch),
+        }
+    )
 
 
 def compute_duplicate_keepers(
-    ds: ray.data.Dataset, *, driver_threshold_rows: int = 5_000_000
-) -> dict[str, str]:
-    """Sha-project the input, group by sha256, return
-    ``{sha: keeper_rowkey}`` for every sha appearing more than once.
+    ds: ray.data.Dataset, *, driver_threshold_rows: int = 20_000_000
+) -> dict[tuple[int, int], str]:
+    """Sha-project the input, group by content hash, return
+    ``{(h1, h2): keeper_rowkey}`` for every content appearing more than
+    once; (h1, h2) = first 16 bytes of sha256 (collision odds ~n²/2^129).
 
     The keeper is the minimum ``repo\\0path`` rowkey — deterministic and
     merge-order independent (SURVEY.md §7.4 determinism requirement).
@@ -68,31 +105,28 @@ def compute_duplicate_keepers(
     (``keys.py:321-364``: hash per key, count, keep examples).
 
     Two physical plans, auto-selected by input size:
-    - small (<= driver_threshold_rows): parallel sha-projection partials
-      collected to the driver (~100 B/row) and resolved with one pandas
-      groupby — Ray's all-to-all has seconds of fixed cost that dominates
-      small jobs;
-    - large: bucket-shuffle — partials keyed by an int prefix of the sha
-      (uniform), ``groupby(bucket).map_groups`` resolves each bucket
-      exactly and emits only duplicated shas. Nothing large ever sits on
-      the driver.
+    - small (<= driver_threshold_rows): per-batch int-key combiner
+      partials (~25-60 B/row) collected to the driver; dup detection is a
+      vectorized ``duplicated()`` over two int64 columns — Ray's
+      all-to-all has seconds of fixed cost that dominates here (measured:
+      90 s hex-string driver groupby -> ~5 s int-pair path at 1.2M rows);
+    - large: bucket-shuffle on an int prefix of the hash,
+      ``groupby(bucket).map_groups`` resolves each bucket exactly and
+      emits only duplicated hashes. Nothing large ever sits on the driver.
     """
     n_buckets = 64
     proj = ds.map_batches(_sha_projection, batch_format="pyarrow")
 
     def partial_min(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: one (sha, min_rowkey, count) row per sha;
-        # bucket from the sha hex prefix (uniform) — int shuffle key
+        # per-batch combiner: one (h1, h2, min_rowkey, cnt) row per hash
         df = batch.to_pandas()
-        g = df.groupby("content_sha256", sort=False)["rowkey"].agg(["min", "size"])
-        g = g.reset_index()
-        g.columns = ["content_sha256", "min_rowkey", "cnt"]
-        if len(g):
-            prefix_bytes = bytes.fromhex("".join(g["content_sha256"].str.slice(0, 8)))
-            bucket = np.frombuffer(prefix_bytes, dtype=">u4").astype(np.int64) % n_buckets
-        else:
-            bucket = np.zeros(0, dtype=np.int64)
-        g["bucket"] = bucket
+        g = (
+            df.groupby(["h1", "h2"], sort=False)["rowkey"]
+            .agg(["min", "size"])
+            .reset_index()
+        )
+        g.columns = ["h1", "h2", "min_rowkey", "cnt"]
+        g["bucket"] = (g["h1"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
         return from_pandas_clean(g)
 
     partials = proj.map_batches(partial_min, batch_format="pyarrow")
@@ -100,19 +134,22 @@ def compute_duplicate_keepers(
     n_rows = ds.count()
     if n_rows <= driver_threshold_rows:
         pdf = partials.to_pandas()
-        agg = pdf.groupby("content_sha256").agg(
+        dup_mask = pdf.duplicated(subset=["h1", "h2"], keep=False) | (pdf["cnt"] > 1)
+        dups = pdf[dup_mask]
+        if dups.empty:
+            return {}
+        agg = dups.groupby(["h1", "h2"]).agg(
             cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
         )
-        dup = agg[agg.cnt > 1]
-        return dict(zip(dup.index, dup["min_rowkey"]))
+        agg = agg[agg.cnt > 1]
+        return dict(zip(agg.index, agg["min_rowkey"]))
 
     def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # exact within-bucket merge; emit only duplicated shas
-        agg = g.groupby("content_sha256").agg(
+        agg = g.groupby(["h1", "h2"]).agg(
             cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
         )
         agg = agg[agg.cnt > 1].reset_index()
-        return agg[["content_sha256", "min_rowkey"]]
+        return agg[["h1", "h2", "min_rowkey"]]
 
     dup_pdf = (
         partials.groupby("bucket")
@@ -121,7 +158,9 @@ def compute_duplicate_keepers(
     )
     if dup_pdf.empty:  # zero duplicates -> columnless empty frame
         return {}
-    return dict(zip(dup_pdf["content_sha256"], dup_pdf["min_rowkey"]))
+    return dict(
+        zip(zip(dup_pdf["h1"], dup_pdf["h2"]), dup_pdf["min_rowkey"])
+    )
 
 
 def make_mark_dups_fn(keeper_map_ref):
@@ -137,20 +176,31 @@ def make_mark_dups_fn(keeper_map_ref):
         cached = _PROCESS_CACHE.get(key)
         if cached is None:
             m = ray.get(keeper_map_ref)
-            shas = np.array(sorted(m.keys()), dtype=object)
-            keepers = np.array([m[s] for s in shas], dtype=object)
-            cached = (shas, keepers)
+            if m:
+                items = sorted(m.items())  # [((h1, h2), keeper), ...]
+                # the dup map is small; h1 collisions between DISTINCT dup
+                # hashes are ~m²/2^64 — lookup keys on h1, verifies h2.
+                h1s = np.array([k[0] for k, _ in items], dtype=np.int64)
+                h2s = np.array([k[1] for k, _ in items], dtype=np.int64)
+                keepers = np.array([v for _, v in items], dtype=object)
+            else:
+                h1s = np.zeros(0, dtype=np.int64)
+                h2s = np.zeros(0, dtype=np.int64)
+                keepers = np.array([], dtype=object)
+            cached = (h1s, h2s, keepers)
             _PROCESS_CACHE[key] = cached
-        shas, keepers = cached
-        sha_np = batch["content_sha256"].to_numpy(zero_copy_only=False)
-        if len(shas):
-            pos = np.searchsorted(shas, sha_np)
-            pos_c = np.minimum(pos, len(shas) - 1)
-            in_dup = shas[pos_c] == sha_np
+        h1s, h2s, keepers = cached
+        n = len(batch)
+        if len(h1s) and n:
+            sha_np = batch["content_sha256"].to_numpy(zero_copy_only=False)
+            h1, h2 = _hex_to_h1h2(sha_np)
+            pos = np.searchsorted(h1s, h1)
+            pos_c = np.minimum(pos, len(h1s) - 1)
+            in_dup = (h1s[pos_c] == h1) & (h2s[pos_c] == h2)
             rk = _rowkey(batch).to_numpy(zero_copy_only=False)
             is_dup = in_dup & (keepers[pos_c] != rk)
         else:
-            is_dup = np.zeros(len(batch), dtype=bool)
+            is_dup = np.zeros(n, dtype=bool)
         return batch.append_column("is_dup_content", pa.array(is_dup))
 
     return mark
@@ -177,6 +227,43 @@ def _rules_fn_factory(thresholds: FilterThresholds):
     return apply_rules
 
 
+class QualityFilterStage:
+    """ALL per-row stages in one actor: metrics -> scrub -> scorers ->
+    dup-mark -> rules.
+
+    One operator = two object-store boundaries total (read -> stage ->
+    write) instead of five. On this sandbox the object store moves pages
+    at ~30-50 MB/s through a global fault lock, so inter-operator traffic
+    IS the pipeline ceiling (measured: identical wall time at 8 and 32
+    CPUs before fusing); on a real cluster fewer materialized
+    intermediates is equally the right shape. Models/regexes load once
+    per actor in ``__init__`` (the actor-pool contract).
+    """
+
+    def __init__(
+        self,
+        thresholds: FilterThresholds,
+        pii: PIIConfig,
+        with_scorers: bool,
+        keeper_ref=None,
+    ):
+        from ..stages.scorers import CombinedScorer
+
+        self.scrub = PIIScrub(pii)
+        self.scorer = CombinedScorer() if with_scorers else None
+        self.rules = KeepDropRules(thresholds)
+        self.mark = make_mark_dups_fn(keeper_ref) if keeper_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = compute_text_metrics(batch)
+        out = self.scrub(out)
+        if self.scorer is not None:
+            out = self.scorer(out)
+        if self.mark is not None:
+            out = self.mark(out)
+        return self.rules(out)
+
+
 def build_quality_filter(
     ds: ray.data.Dataset,
     *,
@@ -186,12 +273,24 @@ def build_quality_filter(
     with_dedup: bool = True,
     batch_size: int = 2048,
     scorer_concurrency: tuple[int, int] = (1, 8),
+    execution: str = "actors",
 ) -> ray.data.Dataset:
     """Assemble the flagship pipeline; returns the lazy labeled Dataset.
 
     Output = input columns (content scrubbed where PII hit) + metric
     columns + ``keep:bool`` + ``reason:string`` (E_* drop reason, W_*
     warning, or null).
+
+    ``execution``:
+    - ``"actors"`` (default) — the north-star shape: one actor pool,
+      models built once per actor in ``__init__``.
+    - ``"tasks"`` — stateless tasks with a per-worker-process model cache
+      (same "loaded once per process" property). On this sandbox, actor
+      processes are freshly spawned per execution and each pays a
+      serialized ~20-30 s first-touch arena warm-up (kernel faults pages
+      at ~22 MB/s globally); long-lived task workers keep their arenas
+      warm across executions, so repeated/short jobs run markedly faster.
+      On a real cluster the two are equivalent for this stage.
     """
     thresholds = thresholds or DEFAULT_THRESHOLDS
     pii = pii or DEFAULT_PII
@@ -201,26 +300,32 @@ def build_quality_filter(
         keeper_map = compute_duplicate_keepers(ds)
         keeper_ref = ray.put(keeper_map)
 
-    out = ds.map_batches(compute_text_metrics, batch_format="pyarrow", batch_size=batch_size)
-    out = out.map_batches(_scrub_fn_factory(pii), batch_format="pyarrow", batch_size=batch_size)
-    if with_scorers:
-        from ..stages.scorers import CombinedScorer
+    kwargs = {
+        "thresholds": thresholds,
+        "pii": pii,
+        "with_scorers": with_scorers,
+        "keeper_ref": keeper_ref,
+    }
+    if execution == "tasks":
+        def stage_fn(batch: pa.Table) -> pa.Table:
+            key = ("qfstage", id(QualityFilterStage), with_scorers,
+                   keeper_ref.hex() if keeper_ref is not None else None)
+            inst = _PROCESS_CACHE.get(key)
+            if inst is None:
+                inst = QualityFilterStage(**kwargs)
+                _PROCESS_CACHE[key] = inst
+            return inst(batch)
 
-        out = out.map_batches(
-            CombinedScorer,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=scorer_concurrency,
-            num_cpus=1,
-        )
-    if keeper_ref is not None:
-        out = out.map_batches(
-            make_mark_dups_fn(keeper_ref), batch_format="pyarrow", batch_size=batch_size
-        )
-    out = out.map_batches(
-        _rules_fn_factory(thresholds), batch_format="pyarrow", batch_size=batch_size
+        return ds.map_batches(stage_fn, batch_format="pyarrow", batch_size=batch_size)
+
+    return ds.map_batches(
+        QualityFilterStage,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=scorer_concurrency,
+        num_cpus=1,
     )
-    return out
 
 
 def drop_reason_histogram(labeled: ray.data.Dataset) -> pd.DataFrame:

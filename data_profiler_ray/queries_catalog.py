@@ -543,6 +543,40 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# repo_stats — salted two-level grouped aggregate (skew-safe path)
+# ---------------------------------------------------------------------------
+
+def q_repo_stats(sf_dir: str) -> pd.DataFrame:
+    """Exactness proof for the salted hot-key aggregate: per-source doc
+    counts + n_chars stats via groupby((key, salt)) then groupby(key)."""
+    from .pipelines.aggregates import salted_group_stats
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    out = salted_group_stats(ds, "source", ["n_chars"], n_salts=8)
+    out = out.rename(
+        columns={
+            "n_chars_sum": "sum_chars",
+            "n_chars_min": "min_chars",
+            "n_chars_max": "max_chars",
+        }
+    )
+    out["mean_chars"] = _round_away(out.pop("n_chars_mean"), _ROUND)
+    for c in ("sum_chars", "min_chars", "max_chars"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n", "sum_chars", "min_chars", "max_chars", "mean_chars"]]
+
+
+_SQL_REPO_STATS = f"""
+SELECT source, count(*) AS n,
+       sum(n_chars) AS sum_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(sum(n_chars)::DOUBLE / count(*), {_ROUND}) AS mean_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # doc_quality — quality features + score (text-analysis family)
 # ---------------------------------------------------------------------------
 
@@ -695,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn,
         "embedding_near_dup": q_embedding_near_dup,
         "doc_quality": q_doc_quality,
+        "repo_stats": q_repo_stats,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "langid_scores": q_langid,
@@ -719,5 +754,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _SQL_KNN,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "doc_quality": _SQL_DOC_QUALITY,
+        "repo_stats": _SQL_REPO_STATS,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -1,0 +1,77 @@
+"""PII-free append-only audit log (reference S6).
+
+``AuditLogger`` (``/root/reference/api/services/audit.py:67-500``) writes
+JSONL events containing ONLY hashes, counts, codes and timestamps — never
+raw values ("PII-free by construction", audit.py:1-6). This rebuild keeps
+that contract for job-level events; row-level lineage lives in the
+per-partition ``_lineage.json`` files (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+
+def _sha(value: str) -> str:
+    return hashlib.sha256(value.encode()).hexdigest()[:16]
+
+
+class AuditLogger:
+    """Append-only JSONL event log; every write is flushed."""
+
+    def __init__(self, path: str, job_id: str):
+        self.path = path
+        self.job_id = job_id
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def _append(self, event: str, **fields) -> None:
+        entry = {
+            "ts": time.time(),
+            "job_id": self.job_id,
+            "event": event,
+            **fields,
+        }
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # -- job lifecycle -----------------------------------------------------
+    def log_job_started(self, input_desc: str, n_partitions: int) -> None:
+        self._append(
+            "job_started", input_hash=_sha(input_desc), n_partitions=n_partitions
+        )
+
+    def log_partition_completed(self, partition: int, rows_in: int, rows_out: int,
+                                drop_histogram: dict[str, int]) -> None:
+        self._append(
+            "partition_completed",
+            partition=partition,
+            rows_in=rows_in,
+            rows_out=rows_out,
+            drop_histogram=drop_histogram,
+        )
+
+    def log_partition_skipped(self, partition: int) -> None:
+        self._append("partition_skipped", partition=partition)
+
+    def log_scrub_summary(self, scrubbed_rows: int, hits_by_pattern: dict[str, int]) -> None:
+        # counts only — never scrubbed content (audit.py PII contract)
+        self._append(
+            "scrub_summary", scrubbed_rows=scrubbed_rows, hits_by_pattern=hits_by_pattern
+        )
+
+    def log_error(self, code: str, message: str, count: int = 1) -> None:
+        self._append("error", code=code, message=message[:200], count=count)
+
+    def log_job_completed(self, rows_in: int, rows_out: int) -> None:
+        self._append("job_completed", rows_in=rows_in, rows_out=rows_out)
+
+    def read_events(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,201 @@
+"""CSV-parity ingest operators: delimiter/quoting auto-detection and
+constant-column CSV parsing with the reference's jagged-row semantics.
+
+Reference operators M4-M6 (SURVEY.md §2.2):
+
+- ``DelimiterDetector`` (``/root/reference/api/services/ingest.py:451-548``):
+  per-line count-consistency scoring over ``, | TAB ;`` on a sample;
+  returns (delimiter, confidence).
+- ``QuotingDetector`` (``ingest.py:551-665``): quote density, doubled
+  quotes, delimiters inside quotes; returns (quoted, confidence).
+- ``CSVParser`` (``ingest.py:723-963``): header required (catastrophic if
+  missing), constant column count enforced; a row with ONE extra column
+  while quoting is off is classified ``E_UNQUOTED_DELIM``
+  (non-catastrophic), any other mismatch ``E_JAGGED_ROW``; quote errors
+  ``E_QUOTE_RULE``; ``continue_on_error`` accumulates instead of raising.
+
+Ray mapping: these run per-FILE inside ``map_batches`` over a table of
+raw file contents (e.g. from ``ray.data.read_binary_files``), emitting
+one parsed row-table per file — "catastrophic" becomes a per-file error
+label, never a job abort (SURVEY.md §4.1). The in-file row loop uses the
+C ``csv`` module (the values are genuinely row-structured text; this is
+the parse itself, not a post-parse transform).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from dataclasses import dataclass, field
+
+CANDIDATE_DELIMITERS = [",", "|", "\t", ";"]
+
+E_HEADER_MISSING = "E_HEADER_MISSING"
+E_JAGGED_ROW = "E_JAGGED_ROW"
+E_UNQUOTED_DELIM = "E_UNQUOTED_DELIM"
+E_QUOTE_RULE = "E_QUOTE_RULE"
+
+
+def detect_delimiter(content: str, sample_size: int = 8192) -> tuple[str, float]:
+    """(delimiter, confidence) via per-line count-consistency scoring.
+
+    For each candidate: confidence = fraction of sampled non-empty lines
+    whose delimiter count equals the modal count, scaled to 0 when the
+    modal count is 0 (delimiter absent).
+    """
+    sample = content[:sample_size]
+    lines = [ln for ln in sample.split("\n") if ln.strip()]
+    if not lines:
+        return ",", 0.0
+    best, best_conf = ",", 0.0
+    for cand in CANDIDATE_DELIMITERS:
+        counts = [ln.count(cand) for ln in lines]
+        modal = max(set(counts), key=counts.count)
+        if modal == 0:
+            continue
+        conf = sum(1 for c in counts if c == modal) / len(counts)
+        # prefer higher column counts on ties (richer structure)
+        if conf > best_conf or (conf == best_conf and cand != best and modal > 0):
+            best, best_conf = cand, conf
+    return best, best_conf
+
+
+def detect_quoting(content: str, delimiter: str, sample_size: int = 8192) -> tuple[bool, float]:
+    """(quoted, confidence) from quote-usage heuristics: lines starting a
+    field with a quote, doubled quotes, and delimiters inside quotes."""
+    sample = content[:sample_size]
+    lines = [ln for ln in sample.split("\n") if ln.strip()]
+    if not lines:
+        return False, 0.0
+    evidence = 0
+    total = len(lines)
+    for ln in lines:
+        if ln.startswith('"') or f'{delimiter}"' in ln:
+            evidence += 1
+        elif '""' in ln:
+            evidence += 1
+    if evidence == 0:
+        return False, 1.0 if '"' not in sample else 0.6
+    ratio = evidence / total
+    return ratio >= 0.1, min(1.0, 0.5 + ratio)
+
+
+@dataclass
+class ParsedFile:
+    header: list[str] = field(default_factory=list)
+    rows: list[list[str]] = field(default_factory=list)
+    errors: list[dict] = field(default_factory=list)
+    catastrophic: str | None = None
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.rows)
+
+
+def parse_csv_content(
+    content: str,
+    *,
+    delimiter: str | None = None,
+    quoted: bool | None = None,
+    has_header: bool = True,
+    continue_on_error: bool = True,
+    max_errors: int = 1000,
+) -> ParsedFile:
+    """Constant-column CSV parse with the reference's row classification.
+
+    Jagged-row semantics (ingest.py:822-898): trailing empty cells are
+    stripped before comparing widths; +1 column with quoting OFF =>
+    E_UNQUOTED_DELIM (row skipped, non-catastrophic); any other width
+    mismatch => E_JAGGED_ROW (catastrophic unless continue_on_error).
+    """
+    out = ParsedFile()
+    if delimiter is None:
+        delimiter, _ = detect_delimiter(content)
+    if quoted is None:
+        quoted, _ = detect_quoting(content, delimiter)
+
+    quoting = csv.QUOTE_MINIMAL if quoted else csv.QUOTE_NONE
+    reader = csv.reader(
+        io.StringIO(content),
+        delimiter=delimiter,
+        quoting=quoting,
+        quotechar='"' if quoted else None,
+    )
+
+    def record(row_no: int, code: str, msg: str) -> bool:
+        if len(out.errors) < max_errors:
+            out.errors.append({"row": row_no, "code": code, "message": msg})
+        if not continue_on_error and code in (E_JAGGED_ROW, E_QUOTE_RULE):
+            out.catastrophic = code
+            return False
+        return True
+
+    try:
+        it = iter(reader)
+        if has_header:
+            try:
+                header = next(it)
+            except StopIteration:
+                out.catastrophic = E_HEADER_MISSING
+                return out
+            if not header or all(not h.strip() for h in header):
+                out.catastrophic = E_HEADER_MISSING
+                return out
+            out.header = [h.strip() for h in header]
+            expected = len(out.header)
+        else:
+            expected = None
+
+        for row_no, row in enumerate(it, start=2 if has_header else 1):
+            if not row:
+                continue
+            # strip trailing empties (ingest.py jagged handling)
+            trimmed = list(row)
+            while trimmed and trimmed[-1] == "":
+                trimmed.pop()
+            if expected is None:
+                expected = len(row)
+            if len(trimmed) > expected:
+                if len(trimmed) == expected + 1 and not quoted:
+                    if not record(row_no, E_UNQUOTED_DELIM,
+                                  "extra column; unquoted delimiter suspected"):
+                        return out
+                    continue
+                if not record(row_no, E_JAGGED_ROW,
+                              f"expected {expected} columns, got {len(trimmed)}"):
+                    return out
+                continue
+            if len(trimmed) < expected and len(row) < expected:
+                if not record(row_no, E_JAGGED_ROW,
+                              f"expected {expected} columns, got {len(row)}"):
+                    return out
+                continue
+            # pad stripped trailing empties back
+            padded = row[:expected] + [""] * (expected - len(row[:expected]))
+            out.rows.append(padded)
+    except csv.Error as exc:
+        out.errors.append({"row": -1, "code": E_QUOTE_RULE, "message": str(exc)})
+        if not continue_on_error:
+            out.catastrophic = E_QUOTE_RULE
+    return out
+
+
+def profile_embedded_csv(content: str, **parse_kwargs) -> dict:
+    """Parse an embedded CSV file and return per-file structural metrics —
+    the per-file analog of the reference's parse stage output."""
+    delimiter, d_conf = detect_delimiter(content)
+    quoted, q_conf = detect_quoting(content, delimiter)
+    parsed = parse_csv_content(
+        content, delimiter=delimiter, quoted=quoted, **parse_kwargs
+    )
+    return {
+        "delimiter": delimiter,
+        "delimiter_confidence": d_conf,
+        "quoted": quoted,
+        "quoting_confidence": q_conf,
+        "n_columns": len(parsed.header),
+        "n_rows": parsed.n_rows,
+        "n_errors": len(parsed.errors),
+        "error_codes": sorted({e["code"] for e in parsed.errors}),
+        "catastrophic": parsed.catastrophic,
+    }

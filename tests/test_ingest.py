@@ -1,0 +1,103 @@
+"""CSV-parity ingest: delimiter/quoting detection + jagged-row semantics
+(reference fixtures, FIXTURES.md §B)."""
+
+from data_profiler_ray.sources.ingest import (
+    E_HEADER_MISSING,
+    E_JAGGED_ROW,
+    E_UNQUOTED_DELIM,
+    detect_delimiter,
+    detect_quoting,
+    parse_csv_content,
+    profile_embedded_csv,
+)
+
+
+def test_delimiter_detection():
+    pipe = "ID|Name|Age\n1|Alice|30\n2|Bob|25\n"
+    comma = "ID,Name,Age\n1,Alice,30\n2,Bob,25\n"
+    tab = "ID\tName\n1\tAlice\n"
+    assert detect_delimiter(pipe)[0] == "|"
+    assert detect_delimiter(comma)[0] == ","
+    assert detect_delimiter(tab)[0] == "\t"
+    assert detect_delimiter(pipe)[1] == 1.0
+
+
+def test_quoting_detection():
+    quoted = 'ID|Desc\n1|"has|pipe"\n2|"say ""hi"""\n'
+    plain = "ID|Desc\n1|text\n2|more\n"
+    assert detect_quoting(quoted, "|")[0] is True
+    assert detect_quoting(plain, "|")[0] is False
+
+
+def test_basic_parse():
+    out = parse_csv_content("ID|Name|Age\n1|Alice|30\n2|Bob|25\n", delimiter="|", quoted=False)
+    assert out.header == ["ID", "Name", "Age"]
+    assert out.rows == [["1", "Alice", "30"], ["2", "Bob", "25"]]
+    assert out.errors == []
+
+
+def test_quoted_fields_preserved():
+    content = 'ID|Desc\n1|"has|pipe inside"\n2|"doubled ""quotes"""\n'
+    out = parse_csv_content(content, delimiter="|", quoted=True)
+    assert out.rows[0][1] == "has|pipe inside"
+    assert out.rows[1][1] == 'doubled "quotes"'
+
+
+def test_jagged_row_classified():
+    # reference: width mismatch => E_JAGGED_ROW, row skipped when
+    # continue_on_error (ingest.py:822-898)
+    content = "ID|Name|Age\n1|Alice|30\n2|Bob\n3|Carol|22\n"
+    out = parse_csv_content(content, delimiter="|", quoted=False)
+    assert len(out.rows) == 2
+    assert out.errors[0]["code"] == E_JAGGED_ROW
+    assert out.errors[0]["row"] == 3
+
+
+def test_unquoted_delimiter_classified():
+    # +1 column with quoting OFF => E_UNQUOTED_DELIM (non-catastrophic)
+    content = "ID|Name|Age\n1|Ali|ce|30\n2|Bob|25\n"
+    out = parse_csv_content(content, delimiter="|", quoted=False)
+    codes = [e["code"] for e in out.errors]
+    assert codes == [E_UNQUOTED_DELIM]
+    assert len(out.rows) == 1
+
+
+def test_missing_header_catastrophic():
+    out = parse_csv_content("", delimiter="|", quoted=False)
+    assert out.catastrophic == E_HEADER_MISSING
+    out2 = parse_csv_content("|||\n1|2|3\n", delimiter="|", quoted=False)
+    assert out2.catastrophic == E_HEADER_MISSING
+
+
+def test_stop_on_error_mode():
+    content = "ID|Name\n1|Alice\nbad|row|here|x\n2|Bob\n"
+    out = parse_csv_content(content, delimiter="|", quoted=False, continue_on_error=False)
+    assert out.catastrophic == E_JAGGED_ROW
+
+
+def test_profile_embedded_csv():
+    content = "ID|Name|Amount\n1|Alice|10.00\n2|Bob|20.00\n3|Cara\n"
+    p = profile_embedded_csv(content)
+    assert p["delimiter"] == "|"
+    assert p["n_columns"] == 3
+    assert p["n_rows"] == 2
+    assert p["error_codes"] == [E_JAGGED_ROW]
+    assert p["catastrophic"] is None
+
+
+def test_audit_logger(tmp_path):
+    from data_profiler_ray.sinks.audit import AuditLogger
+
+    log = AuditLogger(str(tmp_path / "audit.log.json"), job_id="job-1")
+    log.log_job_started("corpus-x", 4)
+    log.log_partition_completed(0, 100, 80, {"E_EMPTY": 20})
+    log.log_scrub_summary(5, {"ssn": 2, "email": 3})
+    log.log_job_completed(100, 80)
+    events = log.read_events()
+    assert [e["event"] for e in events] == [
+        "job_started", "partition_completed", "scrub_summary", "job_completed"
+    ]
+    # PII-free contract: only hashes/counts in the log
+    raw = open(tmp_path / "audit.log.json").read()
+    assert "corpus-x" not in raw
+    assert events[1]["drop_histogram"] == {"E_EMPTY": 20}
