@@ -1,0 +1,94 @@
+"""Config-driven pipeline builder — the rebuild's extension surface.
+
+The reference's extension points are a profiler-per-type dispatch table
+and constructor options (``/root/reference/api/routers/runs.py:456-471``,
+SURVEY.md §2.10). Here the equivalent surface is a declarative list of
+:class:`Stage` specs assembled onto a ``ray.data.Dataset``:
+
+    spec = [
+        Stage("metrics", compute_text_metrics),
+        Stage("scrub", PIIScrub, kind="actor", concurrency=(2, 8)),
+        Stage("rules", KeepDropRules(custom_thresholds)),
+    ]
+    labeled = build_pipeline(ds, spec)
+
+Each stage carries its own batch_size / concurrency / num_cpus so users
+tune per-stage resources exactly as the task brief prescribes.
+"""
+
+from __future__ import annotations
+
+import inspect
+from dataclasses import dataclass, field
+
+import ray
+
+
+@dataclass
+class Stage:
+    """One map_batches stage.
+
+    ``fn`` may be a function (stateless tasks), a class (actor pool when
+    ``kind='actor'``; instantiated once driver-side otherwise), or an
+    instance (callable).
+    """
+
+    name: str
+    fn: object
+    kind: str = "task"            # "task" | "actor"
+    batch_size: int | None = 2048
+    concurrency: object = None     # int | (min, max) for actor pools
+    num_cpus: float = 1.0
+    batch_format: str = "pyarrow"
+    fn_constructor_kwargs: dict = field(default_factory=dict)
+
+
+def build_pipeline(ds: ray.data.Dataset, stages: list[Stage]) -> ray.data.Dataset:
+    out = ds
+    for st in stages:
+        kwargs: dict = {
+            "batch_format": st.batch_format,
+            "batch_size": st.batch_size,
+        }
+        fn = st.fn
+        if st.kind == "actor":
+            if not inspect.isclass(fn):
+                raise TypeError(f"stage {st.name!r}: actor stages need a class")
+            kwargs["concurrency"] = st.concurrency or (1, 4)
+            kwargs["num_cpus"] = st.num_cpus
+            if st.fn_constructor_kwargs:
+                kwargs["fn_constructor_kwargs"] = st.fn_constructor_kwargs
+        else:
+            if inspect.isclass(fn):
+                fn = fn(**st.fn_constructor_kwargs)
+        out = out.map_batches(fn, **kwargs)
+    return out
+
+
+def default_quality_filter_stages(
+    thresholds=None, pii=None, with_scorers: bool = True
+) -> list[Stage]:
+    """The flagship as a declarative spec (equivalent to
+    quality_filter.build_quality_filter without the dedup pass)."""
+    from ..config import DEFAULT_PII, DEFAULT_THRESHOLDS
+    from ..functions.text_metrics import compute_text_metrics
+    from ..stages.rules import KeepDropRules
+    from ..stages.scorers import CombinedScorer
+    from ..stages.scrub import PIIScrub
+
+    stages = [
+        Stage("metrics", compute_text_metrics),
+        Stage("scrub", PIIScrub, fn_constructor_kwargs={"config": pii or DEFAULT_PII}),
+    ]
+    if with_scorers:
+        stages.append(
+            Stage("scorers", CombinedScorer, kind="actor", concurrency=(1, 8))
+        )
+    stages.append(
+        Stage(
+            "rules",
+            KeepDropRules,
+            fn_constructor_kwargs={"thresholds": thresholds or DEFAULT_THRESHOLDS},
+        )
+    )
+    return stages

@@ -166,6 +166,23 @@ def value_counts(
     )
 
 
+def gaussian_pvalue(values: np.ndarray) -> float | None:
+    """D'Agostino-Pearson normality p-value (reference
+    ``NumericProfiler._test_gaussian``, profile.py:361-382): None when
+    n < 8 or scipy is unavailable — exactly the reference's fallback."""
+    if len(values) < 8:
+        return None
+    try:
+        from scipy import stats as scipy_stats
+    except ImportError:
+        return None
+    try:
+        _, p = scipy_stats.normaltest(values)
+        return float(p)
+    except Exception:
+        return None
+
+
 def profile_table(
     ds: ray.data.Dataset,
     columns: list[str] | None = None,
@@ -174,6 +191,7 @@ def profile_table(
     trim: bool = True,
     case_sensitive: bool = True,
     distribution_max_distinct: int = 1000,
+    sample_rows: int | None = None,
 ) -> dict[str, dict]:
     """Full column profile for every (string-viewed) column.
 
@@ -184,6 +202,10 @@ def profile_table(
     """
     if columns is None:
         columns = list(ds.schema().names)
+    if sample_rows is not None:
+        # T5 sample-mode inference (reference TypeInferrer(sample_size),
+        # types.py:100-109): profile only the first N rows
+        ds = ds.limit(sample_rows)
 
     # ---- pass 1: all partials in one map -------------------------------
     part_rows = ds.map_batches(

@@ -673,6 +673,30 @@ def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
 # langid + quality score over documents (no SQL oracle — model-driven)
 # ---------------------------------------------------------------------------
 
+def q_type_inference(sf_dir: str) -> pd.DataFrame:
+    """Full column profile of the documents table (type inference, exact
+    distinct, confidence) — the profiler pipeline end-to-end through the
+    driver gate. Rows-only: the classifier decision tree is not
+    SQL-expressible."""
+    from .pipelines.profiler import profile_table
+
+    ds = _read(sf_dir, "documents")
+    profs = profile_table(ds)
+    rows = []
+    for col, p in sorted(profs.items()):
+        rows.append(
+            {
+                "column": col,
+                "inferred_type": p["inferred_type"],
+                "total_count": p["total_count"],
+                "null_count": p["null_count"],
+                "distinct_count": p["distinct_count"],
+                "confidence": float(_round_away(p["confidence"], _ROUND)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def q_langid(sf_dir: str) -> pd.DataFrame:
     from .stages.scorers import LangIDScorer, PerplexityScorer
 
@@ -733,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "langid_scores": q_langid,
+        "type_inference_summary": q_type_inference,
         "flagship_quality_filter": q_flagship,
     }
 

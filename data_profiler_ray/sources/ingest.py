@@ -30,6 +30,21 @@ from dataclasses import dataclass, field
 
 CANDIDATE_DELIMITERS = [",", "|", "\t", ";"]
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def maybe_gunzip(payload: bytes, filename: str = "") -> bytes:
+    """S1 parity: decompress when the name ends .gz OR the payload starts
+    with the gzip magic (reference ``pipeline.py:210-221``)."""
+    if filename.endswith(".gz") or payload[:2] == GZIP_MAGIC:
+        import gzip
+
+        try:
+            return gzip.decompress(payload)
+        except OSError:
+            return payload  # magic-lookalike that isn't gzip
+    return payload
+
 E_HEADER_MISSING = "E_HEADER_MISSING"
 E_JAGGED_ROW = "E_JAGGED_ROW"
 E_UNQUOTED_DELIM = "E_UNQUOTED_DELIM"

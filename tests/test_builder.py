@@ -1,0 +1,56 @@
+"""Config-driven pipeline builder + gzip sniffing."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.builder import (
+    Stage,
+    build_pipeline,
+    default_quality_filter_stages,
+)
+from data_profiler_ray.sources.ingest import maybe_gunzip
+from data_profiler_ray.sources.synthetic import (
+    generate_code_table,
+    strip_oracle_columns,
+)
+
+
+def test_maybe_gunzip():
+    raw = b"hello world content"
+    gz = gzip.compress(raw)
+    assert maybe_gunzip(gz) == raw                    # magic sniff
+    assert maybe_gunzip(gz, "f.gz") == raw            # suffix
+    assert maybe_gunzip(raw, "f.txt") == raw          # passthrough
+    fake = b"\x1f\x8bnot really gzip"
+    assert maybe_gunzip(fake) == fake                 # graceful fallback
+
+
+def test_builder_task_and_instance_stages(ray_session):
+    table = strip_oracle_columns(generate_code_table(120, seed=3))
+    ds = ray.data.from_arrow(table)
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("clen", pc.utf8_length(batch["content"]))
+
+    out = build_pipeline(ds, [Stage("len", add_len, batch_size=64)]).to_pandas()
+    assert "clen" in out.columns
+
+
+def test_builder_default_flagship_spec(ray_session):
+    table = strip_oracle_columns(generate_code_table(200, seed=4))
+    ds = ray.data.from_arrow(table).repartition(2)
+    stages = default_quality_filter_stages(with_scorers=False)
+    assert [s.name for s in stages] == ["metrics", "scrub", "rules"]
+    df = build_pipeline(ds, stages).to_pandas()
+    assert {"keep", "reason", "content_sha256"}.issubset(df.columns)
+    assert len(df) == 200
+
+
+def test_builder_actor_stage_requires_class():
+    with pytest.raises(TypeError, match="actor stages need a class"):
+        build_pipeline(None, [Stage("bad", lambda b: b, kind="actor")])
