@@ -28,12 +28,30 @@ from ray.data.aggregate import Count, Min, Sum
 
 
 def _sha64(arr: pa.Array) -> np.ndarray:
-    """64-bit content hashes (first 8 bytes of sha256) as uint64."""
+    """64-bit content hashes (first 8 bytes of sha256) as uint64.
+
+    hashlib is fed zero-copy memoryview slices of the Arrow values buffer
+    (same pattern as ``text_metrics.sha256_hex``) — no per-row bytes-object
+    copies through ``.as_py()``.
+    """
     binary = pc.cast(pc.fill_null(arr, ""), pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    n = len(binary)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    view = memoryview(buf) if buf is not None else memoryview(b"")
     return np.array(
         [
-            int.from_bytes(hashlib.sha256(v.as_py()).digest()[:8], "big")
-            for v in binary
+            int.from_bytes(
+                hashlib.sha256(view[offsets[i] : offsets[i + 1]]).digest()[:8],
+                "big",
+            )
+            for i in range(n)
         ],
         dtype=np.uint64,
     )
@@ -88,8 +106,12 @@ def duplicate_stats(
         for c in key_cols:
             col = batch[c]
             null_mask |= pc.is_null(col).to_numpy(zero_copy_only=False)
+            # fill nulls AFTER masking so the object-array join below never
+            # sees None (null rows are dropped by the mask anyway).
             parts.append(
-                pc.cast(col, pa.string()).to_numpy(zero_copy_only=False).astype(object)
+                pc.fill_null(pc.cast(col, pa.string()), "")
+                .to_numpy(zero_copy_only=False)
+                .astype(object)
             )
         joined = parts[0]
         for p in parts[1:]:

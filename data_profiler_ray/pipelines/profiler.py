@@ -437,8 +437,10 @@ def numeric_histogram(
 
     def binned(batch: pa.Table) -> pa.Table:
         vals = batch[col].to_numpy(zero_copy_only=False)
-        idx = ((vals - mn) / width).astype(np.int64)
-        idx[vals == mx] = num_bins - 1
+        # clamp: float roundoff can push values strictly below mx into bin
+        # num_bins (and mx itself lands there exactly) — reference clamps
+        # the bin index the same way (profile.py histogram bins).
+        idx = np.clip(((vals - mn) / width).astype(np.int64), 0, num_bins - 1)
         counts = np.bincount(idx, minlength=num_bins)
         return pa.table({"bin": np.arange(num_bins, dtype=np.int64), "cnt": counts})
 

@@ -269,7 +269,7 @@ _SQL_TOKEN_STATS = f"""
 SELECT lang,
        count(*) AS n_docs,
        sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS sum_tokens,
+                ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS sum_tokens,
        round(sum(CASE WHEN trim(text) = '' THEN 0
                 ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE / count(*), {_ROUND}) AS avg_tokens
 FROM documents
@@ -568,9 +568,9 @@ def q_repo_stats(sf_dir: str) -> pd.DataFrame:
 
 _SQL_REPO_STATS = f"""
 SELECT source, count(*) AS n,
-       sum(n_chars) AS sum_chars,
-       min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
        round(sum(n_chars)::DOUBLE / count(*), {_ROUND}) AS mean_chars
 FROM documents GROUP BY source ORDER BY source
 """

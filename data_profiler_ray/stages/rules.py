@@ -71,15 +71,16 @@ class KeepDropRules:
                 E_DUP_LINES,
             )
         )
+        # E_DUP_CONTENT precedes perplexity/toxicity — DROP_REASONS order.
+        is_dup = _col(batch, "is_dup_content")
+        if is_dup is not None:
+            conds.append((is_dup.astype(bool), E_DUP_CONTENT))
         ppl = _col(batch, "perplexity")
         if ppl is not None:
             conds.append((ppl > t.max_perplexity, E_HIGH_PERPLEXITY))
         tox = _col(batch, "toxicity_hits")
         if tox is not None:
             conds.append((tox > t.max_toxicity_hits, E_TOXIC))
-        is_dup = _col(batch, "is_dup_content")
-        if is_dup is not None:
-            conds.append((is_dup.astype(bool), E_DUP_CONTENT))
 
         reason = np.full(n, None, dtype=object)
         undecided = np.ones(n, dtype=bool)

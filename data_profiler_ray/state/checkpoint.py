@@ -9,12 +9,16 @@ this module implements the north_rule contract:
 - each partition writes to ``{out}/partition={pid}/`` ATOMICALLY
   (write to ``_tmp-{pid}``, fsync lineage, rename) with:
   - the labeled parquet output,
-  - ``lineage.json``: input files, rows_in, rows_out (kept),
+  - ``_lineage.json``: input files, rows_in, rows_out (kept),
     drop-reason histogram, scrubbed count,
   - ``_SUCCESS`` marker (written last);
-- on re-run, partitions with ``_SUCCESS`` are skipped — resume is
-  idempotent: re-running a completed job is a no-op, and killing a run
-  mid-partition leaves only a ``_tmp-*`` dir that the retry overwrites.
+- on re-run, partitions with ``_SUCCESS`` are skipped ONLY if their
+  recorded ``_lineage.json`` input_files match the newly planned files
+  for that partition index — if the input file list changed between
+  runs, shifted partitions are detected and re-executed instead of
+  silently standing in for different file groups. Resume is idempotent:
+  re-running a completed job is a no-op, and killing a run mid-partition
+  leaves only a ``_tmp-*`` dir that the retry overwrites.
 
 The per-partition histogram is computed from the partition's own written
 output (column-pruned read of keep/reason), so lineage always describes
@@ -78,6 +82,18 @@ def _partition_lineage(part_dir: str, pid: int, files: list[str]) -> dict:
     }
 
 
+def _lineage_matches(part_dir: str, planned_files: list[str]) -> bool:
+    """True iff the completed partition's recorded input_files equal the
+    newly planned file list — guards resume against shifted partition
+    indices when the input set changed between runs."""
+    try:
+        with open(os.path.join(part_dir, "_lineage.json")) as f:
+            recorded = json.load(f).get("input_files")
+    except (OSError, json.JSONDecodeError):
+        return False
+    return recorded == planned_files
+
+
 def run_checkpointed(
     input_files: list[str],
     output_dir: str,
@@ -98,7 +114,7 @@ def run_checkpointed(
 
     for pid, files in enumerate(partitions):
         part_dir = os.path.join(output_dir, f"partition={pid}")
-        if pid in done:
+        if pid in done and _lineage_matches(part_dir, files):
             skipped.append(pid)
             continue
         tmp_dir = os.path.join(output_dir, f"_tmp-{pid}")

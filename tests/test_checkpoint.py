@@ -81,3 +81,20 @@ def test_output_readable_and_labeled(input_files, tmp_path, ray_session):
     df = ds.to_pandas()
     assert len(df) == 400
     assert {"keep", "reason", "content_sha256"}.issubset(df.columns)
+
+
+def test_resume_reruns_on_changed_input_list(input_files, tmp_path, ray_session):
+    # If the planned file list shifts between runs, completed partition
+    # indices must NOT silently stand in for different file groups:
+    # lineage input_files are validated on resume and mismatches re-run.
+    out = str(tmp_path / "out")
+    run_checkpointed(input_files, out, _pipeline, files_per_partition=2)
+    # Drop the first two files: every partition's planned contents shift.
+    changed = input_files[2:]
+    again = run_checkpointed(changed, out, _pipeline, files_per_partition=2)
+    assert again["ran"] == [0, 1, 2]  # all three shifted partitions re-ran
+    assert again["skipped"] == []
+    # And a genuine no-change rerun still skips everything.
+    third = run_checkpointed(changed, out, _pipeline, files_per_partition=2)
+    assert third["ran"] == []
+    assert third["skipped"] == [0, 1, 2]

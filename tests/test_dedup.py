@@ -1,0 +1,68 @@
+"""dedup.duplicate_stats / _sha64 unit tests (compound keys, nulls)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from data_profiler_ray.pipelines.dedup import _sha64, duplicate_stats
+
+
+def test_sha64_matches_hashlib_and_handles_nulls():
+    vals = ["hello", None, "", "hello", "χ unicode ✓"]
+    got = _sha64(pa.array(vals, pa.string()))
+    want = np.array(
+        [
+            int.from_bytes(
+                hashlib.sha256((v or "").encode("utf-8")).digest()[:8], "big"
+            )
+            for v in vals
+        ],
+        dtype=np.uint64,
+    )
+    assert (got == want).all()
+    assert _sha64(pa.array([], pa.string())).shape == (0,)
+
+
+def test_sha64_sliced_array():
+    # offsets respected on a sliced (non-zero-offset) array
+    arr = pa.array(["aa", "bb", "cc", "dd"], pa.string())
+    assert (_sha64(arr.slice(1, 2)) == _sha64(pa.array(["bb", "cc"]))).all()
+
+
+def test_duplicate_stats_compound_key_with_nulls(ray_session):
+    # 2-column key; rows with ANY null member are skipped-and-counted
+    # (reference runs.py:1695-1750 semantics). Regression: the string join
+    # used to raise TypeError on None before masking.
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y", None, "y", "x"], pa.string()),
+            "b": pa.array([1, 1, 2, 3, None, 1], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = duplicate_stats(ds, ["a", "b"])
+    row = out.iloc[0]
+    assert row.total_rows == 6
+    assert row.skipped_null_rows == 2
+    assert row.distinct_keys == 2  # (x,1) and (y,2)
+    assert row.duplicate_keys == 1  # (x,1) appears 3 times
+    assert row.duplicate_rows == 2  # 3 - 1
+
+
+def test_duplicate_stats_null_member_not_confused_with_empty(ray_session):
+    # ("", 1) and (null-masked rows) must not collide: null rows are
+    # skipped entirely, empty strings are legitimate key members.
+    t = pa.table(
+        {
+            "a": pa.array(["", "", None], pa.string()),
+            "b": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    out = duplicate_stats(ray.data.from_arrow(t), ["a", "b"])
+    row = out.iloc[0]
+    assert row.skipped_null_rows == 1
+    assert row.distinct_keys == 1
+    assert row.duplicate_keys == 1
+    assert row.duplicate_rows == 1

@@ -144,3 +144,14 @@ def test_numeric_histogram_reference_labels(ray_session):
     # single-value column
     ds1 = ray.data.from_pandas(pd.DataFrame({"v": [7.0, 7.0]}))
     assert numeric_histogram(ds1, "v") == {"7.0": 2}
+
+
+def test_numeric_histogram_roundoff_clamp(ray_session):
+    # v = nextafter(mx, mn) < mx but (v-mn)/width rounds to bin 10 —
+    # regression: bincount used to return 11 entries and crash pa.table.
+    mn, mx = 0.21327155153435973, 7.535287505275944
+    v = float(np.nextafter(mx, mn))
+    assert v < mx
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [mn, v, mx]}))
+    h = numeric_histogram(ds, "v")
+    assert sum(h.values()) == 3

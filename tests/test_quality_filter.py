@@ -76,3 +76,31 @@ def test_drop_reason_histogram(ray_session):
     hist = drop_reason_histogram(labeled)
     assert hist.cnt.sum() == 300
     assert "<keep>" in set(hist.reason)
+
+
+def test_dup_content_priority_over_perplexity_and_toxicity():
+    # A duplicate row that is ALSO high-perplexity/toxic gets E_DUP_CONTENT
+    # (DROP_REASONS order in config.py) — regression: it used to be last.
+    import numpy as np
+    import pyarrow as pa
+
+    from data_profiler_ray.config import DEFAULT_THRESHOLDS, E_DUP_CONTENT
+    from data_profiler_ray.stages.rules import KeepDropRules
+
+    t = DEFAULT_THRESHOLDS
+    batch = pa.table(
+        {
+            "n_chars": pa.array([1000], pa.int64()),
+            "max_line_len": pa.array([40], pa.int64()),
+            "alnum_ratio": pa.array([0.9], pa.float64()),
+            "blank_line_frac": pa.array([0.0], pa.float64()),
+            "dup_line_rate": pa.array([0.0], pa.float64()),
+            "nonblank_lines": pa.array([10], pa.int64()),
+            "perplexity": pa.array([t.max_perplexity * 10], pa.float64()),
+            "toxicity_hits": pa.array([t.max_toxicity_hits + 5], pa.int64()),
+            "is_dup_content": pa.array([True], pa.bool_()),
+        }
+    )
+    out = KeepDropRules()(batch)
+    assert out["keep"].to_pylist() == [False]
+    assert out["reason"].to_pylist() == [E_DUP_CONTENT]
