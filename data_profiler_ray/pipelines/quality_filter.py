@@ -92,57 +92,161 @@ def _sha_projection(batch: pa.Table) -> pa.Table:
     )
 
 
-def compute_duplicate_keepers(
-    ds: ray.data.Dataset, *, driver_threshold_rows: int = 20_000_000
-) -> dict[tuple[int, int], str]:
-    """Sha-project the input, group by content hash, return
-    ``{(h1, h2): keeper_rowkey}`` for every content appearing more than
-    once; (h1, h2) = first 16 bytes of sha256 (collision odds ~n²/2^129).
+def _combine_sha_partial(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+    """Per-batch combiner: one (h1, h2, min_rowkey, cnt, bucket) row per
+    content hash."""
+    g = (
+        df.groupby(["h1", "h2"], sort=False)["rowkey"]
+        .agg(["min", "size"])
+        .reset_index()
+    )
+    g.columns = ["h1", "h2", "min_rowkey", "cnt"]
+    g["bucket"] = (g["h1"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
+    return g
 
-    The keeper is the minimum ``repo\\0path`` rowkey — deterministic and
-    merge-order independent (SURVEY.md §7.4 determinism requirement).
-    Mirrors reference duplicate detection on a confirmed key
-    (``keys.py:321-364``: hash per key, count, keep examples).
+
+def _hll_partial_frame(batch: pa.Table, group_col: str, text_col: str, p: int):
+    """Per-batch HLL partial: (g, reg, n) — one register blob per distinct
+    group in the batch (see dup_lines module docstring)."""
+    from .dup_lines import _explode_lines, hash_strings_u64, hll_group_partials
+
+    groups, flat = _explode_lines(batch, group_col, text_col)
+    h = hash_strings_u64(flat)
+    gnp = groups.to_numpy(zero_copy_only=False)
+    uniques, regs, counts = hll_group_partials(gnp, h, p)
+    return list(uniques), [r.tobytes() for r in regs], list(counts)
+
+
+def _merge_hll_rows(
+    groups: "pd.Series", regs: "pd.Series", counts: "pd.Series"
+) -> dict[str, float]:
+    """Driver-side merge of HLL partial rows -> {group: dup_line_rate}."""
+    from .dup_lines import hll_estimate
+
+    from .. import queries_catalog as qc
+
+    rates: dict[str, float] = {}
+    df = pd.DataFrame({"g": groups, "reg": regs, "n": counts})
+    for g, part in df.groupby("g", sort=False):
+        merged = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in part["reg"]]
+        ).max(axis=0)
+        total = int(part["n"].sum())
+        distinct = int(round(hll_estimate(merged)))
+        rates[g] = float(
+            qc._round_away((total - min(distinct, total)) / max(total, 1), 4)
+        )
+    return rates
+
+
+def compute_dup_state(
+    ds: ray.data.Dataset,
+    *,
+    with_keepers: bool = True,
+    with_dup_lines: bool = True,
+    driver_threshold_rows: int = 20_000_000,
+) -> tuple[dict[tuple[int, int], str], dict[str, float] | None]:
+    """ONE content scan producing both broadcast sides of the flagship:
+
+    - ``{(h1, h2): keeper_rowkey}`` for every content appearing more than
+      once; (h1, h2) = first 16 bytes of sha256 (collision odds
+      ~n²/2^129). The keeper is the minimum ``repo\\0path`` rowkey —
+      deterministic and merge-order independent (SURVEY.md §7.4).
+      Mirrors reference duplicate detection on a confirmed key
+      (``keys.py:321-364``: hash per key, count, keep examples).
+    - ``{repo: cross-file dup_line_rate}`` via per-batch HyperLogLog
+      partials (the north-star metric; see ``dup_lines``).
 
     Two physical plans, auto-selected by input size:
-    - small (<= driver_threshold_rows): per-batch int-key combiner
-      partials (~25-60 B/row) collected to the driver; dup detection is a
-      vectorized ``duplicated()`` over two int64 columns — Ray's
-      all-to-all has seconds of fixed cost that dominates here (measured:
-      90 s hex-string driver groupby -> ~5 s int-pair path at 1.2M rows);
-    - large: bucket-shuffle on an int prefix of the hash,
-      ``groupby(bucket).map_groups`` resolves each bucket exactly and
-      emits only duplicated hashes. Nothing large ever sits on the driver.
+    - small (<= driver_threshold_rows): ONE fused ``map_batches`` emits
+      per-batch sha-combiner rows (~25-60 B/row) AND per-repo HLL
+      register rows (2^p B each), union-schema with a ``kind``
+      discriminator, collected to the driver — Ray's all-to-all has
+      seconds of fixed cost that dominates here (measured: 90 s
+      hex-string driver groupby -> ~5 s int-pair path at 1.2M rows; the
+      fused pass saves a third full content scan, ~5 s at 240 k files);
+    - large: two separate passes — bucket-shuffle keeper resolution
+      (``groupby(bucket).map_groups``, only duplicated hashes emitted)
+      plus the ``dup_lines`` groupby-merge. Nothing large ever sits on
+      the driver.
     """
     n_buckets = 64
-    proj = ds.map_batches(_sha_projection, batch_format="pyarrow")
-
-    def partial_min(batch: pa.Table) -> pa.Table:
-        # per-batch combiner: one (h1, h2, min_rowkey, cnt) row per hash
-        df = batch.to_pandas()
-        g = (
-            df.groupby(["h1", "h2"], sort=False)["rowkey"]
-            .agg(["min", "size"])
-            .reset_index()
-        )
-        g.columns = ["h1", "h2", "min_rowkey", "cnt"]
-        g["bucket"] = (g["h1"].to_numpy().astype(np.uint64) % n_buckets).astype(np.int64)
-        return from_pandas_clean(g)
-
-    partials = proj.map_batches(partial_min, batch_format="pyarrow")
-
     n_rows = ds.count()
+
     if n_rows <= driver_threshold_rows:
-        pdf = partials.to_pandas()
-        dup_mask = pdf.duplicated(subset=["h1", "h2"], keep=False) | (pdf["cnt"] > 1)
-        dups = pdf[dup_mask]
+        def fused_partial(batch: pa.Table) -> pa.Table:
+            if with_keepers:
+                proj = _sha_projection(batch).to_pandas()
+                g = _combine_sha_partial(proj, n_buckets)
+            else:
+                g = pd.DataFrame(
+                    {
+                        "h1": np.zeros(0, np.int64),
+                        "h2": np.zeros(0, np.int64),
+                        "min_rowkey": [],
+                        "cnt": np.zeros(0, np.int64),
+                    }
+                )
+            n_sha = len(g)
+            if with_dup_lines:
+                hg, hreg, hn = _hll_partial_frame(batch, "repo", "content", 12)
+            else:
+                hg, hreg, hn = [], [], []
+            n_hll = len(hg)
+            return pa.table(
+                {
+                    "kind": pa.array([0] * n_sha + [1] * n_hll, pa.int8()),
+                    "h1": pa.array(
+                        np.r_[g["h1"].to_numpy(), np.zeros(n_hll, np.int64)]
+                    ),
+                    "h2": pa.array(
+                        np.r_[g["h2"].to_numpy(), np.zeros(n_hll, np.int64)]
+                    ),
+                    "min_rowkey": pa.array(
+                        list(g["min_rowkey"]) + [None] * n_hll, pa.string()
+                    ),
+                    "cnt": pa.array(
+                        np.r_[g["cnt"].to_numpy(), np.asarray(hn, np.int64)]
+                    ),
+                    "g": pa.array([None] * n_sha + list(hg), pa.string()),
+                    "reg": pa.array([None] * n_sha + list(hreg), pa.binary()),
+                }
+            )
+
+        pdf = ds.map_batches(fused_partial, batch_format="pyarrow").to_pandas()
+        sha = pdf[pdf["kind"] == 0]
+        rate_map = None
+        if with_dup_lines:
+            hll = pdf[pdf["kind"] == 1]
+            rate_map = _merge_hll_rows(hll["g"], hll["reg"], hll["cnt"])
+
+        dup_mask = sha.duplicated(subset=["h1", "h2"], keep=False) | (sha["cnt"] > 1)
+        dups = sha[dup_mask]
         if dups.empty:
-            return {}
+            return {}, rate_map
         agg = dups.groupby(["h1", "h2"]).agg(
             cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
         )
         agg = agg[agg.cnt > 1]
-        return dict(zip(agg.index, agg["min_rowkey"]))
+        return dict(zip(agg.index, agg["min_rowkey"])), rate_map
+
+    # large path: two passes, each fully distributed
+    rate_map = None
+    if with_dup_lines:
+        from .dup_lines import group_dup_line_rate_map
+
+        rate_map = group_dup_line_rate_map(ds, "repo", "content")
+    if not with_keepers:
+        return {}, rate_map
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        return from_pandas_clean(
+            _combine_sha_partial(batch.to_pandas(), n_buckets)
+        )
+
+    partials = ds.map_batches(_sha_projection, batch_format="pyarrow").map_batches(
+        partial_min, batch_format="pyarrow"
+    )
 
     def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["h1", "h2"]).agg(
@@ -157,10 +261,21 @@ def compute_duplicate_keepers(
         .to_pandas()
     )
     if dup_pdf.empty:  # zero duplicates -> columnless empty frame
-        return {}
-    return dict(
-        zip(zip(dup_pdf["h1"], dup_pdf["h2"]), dup_pdf["min_rowkey"])
+        return {}, rate_map
+    return (
+        dict(zip(zip(dup_pdf["h1"], dup_pdf["h2"]), dup_pdf["min_rowkey"])),
+        rate_map,
     )
+
+
+def compute_duplicate_keepers(
+    ds: ray.data.Dataset, *, driver_threshold_rows: int = 20_000_000
+) -> dict[tuple[int, int], str]:
+    """Keeper map only (see :func:`compute_dup_state`)."""
+    keepers, _ = compute_dup_state(
+        ds, with_dup_lines=False, driver_threshold_rows=driver_threshold_rows
+    )
+    return keepers
 
 
 def make_mark_dups_fn(keeper_map_ref):
@@ -246,6 +361,7 @@ class QualityFilterStage:
         pii: PIIConfig,
         with_scorers: bool,
         keeper_ref=None,
+        dup_line_ref=None,
     ):
         from ..stages.scorers import CombinedScorer
 
@@ -253,6 +369,11 @@ class QualityFilterStage:
         self.scorer = CombinedScorer() if with_scorers else None
         self.rules = KeepDropRules(thresholds)
         self.mark = make_mark_dups_fn(keeper_ref) if keeper_ref is not None else None
+        # broadcast per-repo cross-file dup-line rate (HLL north-star
+        # metric) — tiny {repo: rate} dict, fetched once per actor.
+        self.repo_dup_rates = (
+            ray.get(dup_line_ref) if dup_line_ref is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = compute_text_metrics(batch)
@@ -261,6 +382,16 @@ class QualityFilterStage:
             out = self.scorer(out)
         if self.mark is not None:
             out = self.mark(out)
+        if self.repo_dup_rates is not None:
+            rates = (
+                pd.Series(out["repo"].to_numpy(zero_copy_only=False))
+                .map(self.repo_dup_rates)
+                .fillna(0.0)
+                .to_numpy(dtype=np.float64)
+            )
+            out = out.append_column(
+                "repo_dup_line_rate", pa.array(rates, pa.float64())
+            )
         return self.rules(out)
 
 
@@ -271,6 +402,7 @@ def build_quality_filter(
     pii: PIIConfig | None = None,
     with_scorers: bool = True,
     with_dedup: bool = True,
+    with_repo_dup_lines: bool = True,
     batch_size: int = 2048,
     scorer_concurrency: tuple[int, int] = (1, 8),
     execution: str = "actors",
@@ -296,20 +428,31 @@ def build_quality_filter(
     pii = pii or DEFAULT_PII
 
     keeper_ref = None
-    if with_dedup:
-        keeper_map = compute_duplicate_keepers(ds)
-        keeper_ref = ray.put(keeper_map)
+    dup_line_ref = None
+    if with_dedup or with_repo_dup_lines:
+        # ONE fused content scan produces both broadcast sides: the dup
+        # keeper map and the per-repo HLL dup-line-rate map (J2 pattern:
+        # ray.put once, lookup per batch).
+        keeper_map, rate_map = compute_dup_state(
+            ds, with_keepers=with_dedup, with_dup_lines=with_repo_dup_lines
+        )
+        if with_dedup:
+            keeper_ref = ray.put(keeper_map)
+        if rate_map is not None:
+            dup_line_ref = ray.put(rate_map)
 
     kwargs = {
         "thresholds": thresholds,
         "pii": pii,
         "with_scorers": with_scorers,
         "keeper_ref": keeper_ref,
+        "dup_line_ref": dup_line_ref,
     }
     if execution == "tasks":
         def stage_fn(batch: pa.Table) -> pa.Table:
             key = ("qfstage", id(QualityFilterStage), with_scorers,
-                   keeper_ref.hex() if keeper_ref is not None else None)
+                   keeper_ref.hex() if keeper_ref is not None else None,
+                   dup_line_ref.hex() if dup_line_ref is not None else None)
             inst = _PROCESS_CACHE.get(key)
             if inst is None:
                 inst = QualityFilterStage(**kwargs)

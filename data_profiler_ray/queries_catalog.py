@@ -566,6 +566,33 @@ def q_repo_stats(sf_dir: str) -> pd.DataFrame:
     return out[["source", "n", "sum_chars", "min_chars", "max_chars", "mean_chars"]]
 
 
+# ---------------------------------------------------------------------------
+# dup_line_stats — cross-partition duplicate-line rate (north-star metric)
+# ---------------------------------------------------------------------------
+
+def q_dup_line_stats(sf_dir: str) -> pd.DataFrame:
+    """Exact path of the cross-file duplicate-line operator (the HLL
+    sketch path is the 100-TB variant; tolerance-tested in
+    tests/test_dup_lines.py and exercised by the flagship)."""
+    from .pipelines.dup_lines import dup_line_stats
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return dup_line_stats(ds, "source", "text", method="exact")
+
+
+_SQL_DUP_LINE_STATS = """
+WITH l AS (
+  SELECT source, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS total_lines,
+       count(DISTINCT line)::BIGINT AS distinct_lines,
+       round((count(*) - count(DISTINCT line))::DOUBLE / count(*), 4) AS dup_line_rate
+FROM l GROUP BY source ORDER BY source
+"""
+
+
 _SQL_REPO_STATS = f"""
 SELECT source, count(*) AS n,
        sum(n_chars)::BIGINT AS sum_chars,
@@ -754,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "doc_quality": q_doc_quality,
         "repo_stats": q_repo_stats,
+        "dup_line_stats": q_dup_line_stats,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "langid_scores": q_langid,
@@ -780,5 +808,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "doc_quality": _SQL_DOC_QUALITY,
         "repo_stats": _SQL_REPO_STATS,
+        "dup_line_stats": _SQL_DUP_LINE_STATS,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -1,0 +1,129 @@
+"""Cross-partition duplicate-line rate: exact path, HLL sketch path,
+line semantics, and the flagship broadcast-join column."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.dup_lines import (
+    dup_line_stats,
+    group_dup_line_rate_map,
+    hash_strings_u64,
+    hll_add_hashes,
+    hll_empty,
+    hll_estimate,
+)
+
+
+@pytest.fixture()
+def corpus():
+    # repoA: 6 lines total, lines "a"/"b" repeated across FILES (the
+    # within-file rate would miss a2's dupes entirely).
+    return pa.table(
+        {
+            "repo": pa.array(["repoA", "repoA", "repoB"], pa.string()),
+            "text": pa.array(
+                [
+                    "a\nb\nc",  # 3 lines
+                    "a\nb\nd",  # 3 lines, 2 seen in the other file
+                    "x\ny",  # clean repo
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def test_exact_cross_file_rate(corpus, ray_session):
+    out = dup_line_stats(
+        ray.data.from_arrow(corpus), "repo", "text", method="exact"
+    )
+    a = out[out.repo == "repoA"].iloc[0]
+    assert a.total_lines == 6
+    assert a.distinct_lines == 4  # a b c d
+    assert a.dup_line_rate == pytest.approx(2 / 6, abs=1e-4)
+    b = out[out.repo == "repoB"].iloc[0]
+    assert b.total_lines == 2 and b.distinct_lines == 2 and b.dup_line_rate == 0.0
+
+
+def test_line_semantics_trailing_newline_and_null(ray_session):
+    # DuckDB string_split semantics: trailing \n yields a final empty
+    # line; null text counts as one empty line.
+    t = pa.table(
+        {
+            "g": pa.array(["g", "g"], pa.string()),
+            "text": pa.array(["a\n", None], pa.string()),
+        }
+    )
+    out = dup_line_stats(ray.data.from_arrow(t), "g", "text", method="exact")
+    row = out.iloc[0]
+    assert row.total_lines == 3  # "a", "", ""
+    assert row.distinct_lines == 2
+
+
+def test_hll_matches_exact_small(corpus, ray_session):
+    # linear-counting regime: the sketch is effectively exact
+    ex = dup_line_stats(ray.data.from_arrow(corpus), "repo", "text", method="exact")
+    hl = dup_line_stats(ray.data.from_arrow(corpus), "repo", "text", method="hll")
+    pd.testing.assert_frame_equal(ex, hl)
+
+
+def test_hll_tolerance_at_scale(ray_session):
+    # ~30k distinct lines + 10k repeats across 40 multi-line docs split
+    # over 4 blocks: estimate within the p=12 error envelope (~1.6% std).
+    rng = np.random.default_rng(7)
+    distinct = [f"line-{i}" for i in range(30_000)]
+    repeats = [distinct[i] for i in rng.integers(0, 1000, 10_000)]
+    lines = distinct + repeats
+    rng.shuffle(lines)
+    docs = ["\n".join(lines[i::40]) for i in range(40)]
+    t = pa.table(
+        {
+            "g": pa.array(["g"] * 40, pa.string()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = dup_line_stats(
+        ray.data.from_arrow(t).repartition(4), "g", "text", method="hll"
+    )
+    row = out.iloc[0]
+    assert row.total_lines == 40_000
+    assert abs(row.distinct_lines - 30_000) / 30_000 < 0.05
+    assert 0.15 < row.dup_line_rate < 0.35  # true rate 0.25
+
+
+def test_hll_merge_order_independent():
+    # sketch of the union == max-merge of per-part sketches
+    h = hash_strings_u64(pa.array([f"v{i}" for i in range(5000)]))
+    full = hll_empty(12)
+    hll_add_hashes(full, h)
+    a, b = hll_empty(12), hll_empty(12)
+    hll_add_hashes(a, h[:3000])
+    hll_add_hashes(b, h[2000:])  # overlapping parts
+    assert (np.maximum(a, b) == full).all()
+    assert hll_estimate(full) > 0
+
+
+def test_flagship_repo_dup_line_rate_column(ray_session):
+    from data_profiler_ray.pipelines.quality_filter import build_quality_filter
+    from data_profiler_ray.sources.synthetic import (
+        generate_code_table,
+        strip_oracle_columns,
+    )
+
+    oracle = generate_code_table(300, seed=11)
+    ds = ray.data.from_arrow(strip_oracle_columns(oracle))
+    df = build_quality_filter(
+        ds, with_scorers=False, scorer_concurrency=(1, 2)
+    ).to_pandas()
+    assert "repo_dup_line_rate" in df.columns
+    assert df.repo_dup_line_rate.between(0, 1).all()
+    # the broadcast join is per-repo constant
+    assert (df.groupby("repo").repo_dup_line_rate.nunique() == 1).all()
+    # and agrees with the operator run standalone
+    direct = group_dup_line_rate_map(ds, "repo", "content")
+    got = df.groupby("repo").repo_dup_line_rate.first().to_dict()
+    for repo, rate in got.items():
+        assert rate == pytest.approx(direct[repo], abs=1e-9)
