@@ -6,9 +6,16 @@ actor pools with models loaded ONCE per actor (``__init__``), zero-copy
 Arrow in/out. The container has no fastText/KenLM, so both models are
 built deterministically from public-knowledge algorithms:
 
-- :class:`LangIDScorer` — keyword-evidence classifier over the language
-  keyword inventories in ``sources/synthetic.py`` (vectorized RE2 counts
-  per keyword; argmax with confidence = top/total).
+- :class:`LangIDScorer` — multinomial naive Bayes over hashed byte
+  trigrams (the public fastText/Cavnar-Trenkle family of char-n-gram
+  language ID), trained in ``__init__`` on a held-out corpus generated
+  with an independent seed. The classifier learns features from data —
+  it does NOT reference the generator's keyword inventory (the round-1
+  version keyed on those keywords directly, making its F1 partly
+  circular).
+  Remaining honest caveat: the held-out training text comes from the
+  same *generator family* as the eval corpus, because this container
+  ships no external language corpus.
 - :class:`PerplexityScorer` — char-bigram language model with additive
   smoothing, trained in ``__init__`` on a deterministic clean-code corpus;
   per-file perplexity computed fully vectorized from the Arrow string
@@ -22,58 +29,143 @@ Usage::
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.synthetic import LANG_KEYWORDS, _clean_content
+from ..sources.synthetic import LANGS, _clean_content
+
+_TRI_BUCKETS = 1 << 16  # hashed byte-trigram feature space
+_LANGID_TRAIN_SEED = 424243  # never used by any eval/test corpus seed
+_LANGID_MEM: dict = {}
+
+
+def _trigram_ids(data: np.ndarray) -> np.ndarray:
+    """Hashed byte-trigram bucket ids (int32) for a uint8 byte array."""
+    if data.size < 3:
+        return np.zeros(0, dtype=np.int32)
+    ids = data[:-2].astype(np.int32)
+    ids *= np.int32(31)
+    ids += data[1:-1]
+    ids *= np.int32(31)
+    ids += data[2:]
+    ids &= np.int32(_TRI_BUCKETS - 1)
+    return ids
+
+
+def _build_langid_model(
+    seed: int = _LANGID_TRAIN_SEED, per_lang: int = 150
+) -> np.ndarray:
+    """Train (or load) the NB log-prob matrix ``[_TRI_BUCKETS, n_langs]``.
+
+    Held-out training corpus: ``_clean_content`` docs drawn with an
+    independent RNG seed, so no document is shared with any eval set.
+    Cached like the perplexity LM (/tmp .npy + in-memory) so the model
+    builds once per actor process.
+    """
+    import os
+    import tempfile
+
+    key = ("langid", seed, per_lang)
+    if key in _LANGID_MEM:
+        return _LANGID_MEM[key]
+    cache = f"/tmp/dpr_langid_nb_s{seed}_p{per_lang}.npy"
+    if os.path.exists(cache):
+        try:
+            logp = np.load(cache)
+            _LANGID_MEM[key] = logp
+            return logp
+        except Exception:
+            pass
+    rng = np.random.default_rng(seed)
+    counts = np.zeros((_TRI_BUCKETS, len(LANGS)), dtype=np.float64)
+    for k, lang in enumerate(LANGS):
+        for _ in range(per_lang):
+            doc = np.frombuffer(
+                _clean_content(rng, lang).encode("utf-8"), dtype=np.uint8
+            )
+            ids = _trigram_ids(doc)
+            counts[:, k] += np.bincount(ids, minlength=_TRI_BUCKETS)
+    alpha = 0.5
+    totals = counts.sum(axis=0, keepdims=True)
+    logp = np.log((counts + alpha) / (totals + alpha * _TRI_BUCKETS)).astype(
+        np.float32
+    )
+    try:
+        fd, tmp = tempfile.mkstemp(dir="/tmp", suffix=".npy")
+        os.close(fd)
+        np.save(tmp, logp)
+        os.replace(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, cache)
+    except Exception:
+        pass
+    _LANGID_MEM[key] = logp
+    return logp
 
 
 class LangIDScorer:
-    """Predict source language from keyword evidence.
+    """Language ID via multinomial naive Bayes over hashed byte trigrams.
 
     Appends ``lang_pred:string`` and ``lang_conf:float64``. Confidence is
-    the fraction of keyword hits belonging to the winning language
-    (0.0 and ``lang_pred="unknown"`` when no keyword matches).
+    the NB posterior of the winning class (softmax of per-class total
+    log-likelihood, uniform prior); files with fewer than 3 bytes get
+    ``lang_pred="unknown"``, conf 0.
+
+    Scoring is fully vectorized off the Arrow values buffer: trigram
+    bucket ids -> one ``[n_trigrams, n_langs]`` gather -> segmented sums
+    via ``np.add.reduceat`` (boundary-crossing trigrams masked out), the
+    same shape as :class:`PerplexityScorer`.
     """
 
     def __init__(self, content_col: str = "content"):
         self.content_col = content_col
-        # keyword -> RE2 pattern: word keywords get \b guards; symbolic
-        # keywords ("=>", "#include") are matched literally.
-        self.lang_patterns: list[tuple[str, str]] = []
-        for lang, kws in LANG_KEYWORDS.items():
-            parts = []
-            for kw in kws:
-                esc = re.escape(kw)
-                if re.fullmatch(r"[A-Za-z0-9_]+", kw):
-                    parts.append(rf"\b{esc}\b")
-                else:
-                    parts.append(esc)
-            self.lang_patterns.append((lang, "|".join(parts)))
+        self.logp = _build_langid_model()  # [_TRI_BUCKETS, n_langs] f32
+        self.langs = np.array(LANGS, dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch[self.content_col]
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
         content = pc.fill_null(content, "")
-        n = len(batch)
-        counts = np.zeros((len(self.lang_patterns), n), dtype=np.float64)
-        for k, (_lang, pattern) in enumerate(self.lang_patterns):
-            counts[k] = pc.count_substring_regex(content, pattern).to_numpy(
-                zero_copy_only=False
-            )
-        totals = counts.sum(axis=0)
-        best = counts.argmax(axis=0)
-        best_counts = counts[best, np.arange(n)]
-        conf = np.divide(
-            best_counts, totals, out=np.zeros(n, dtype=np.float64), where=totals > 0
+        binary = pc.cast(content, pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        n = len(binary)
+        if n == 0:
+            out = batch.append_column("lang_pred", pa.array([], pa.string()))
+            return out.append_column("lang_conf", pa.array([], pa.float64()))
+        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+            binary.offset : binary.offset + n + 1
+        ]
+        data_buf = binary.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
         )
-        langs = np.array([lang for lang, _ in self.lang_patterns], dtype=object)
-        pred = langs[best]
-        pred[totals == 0] = "unknown"
+        lens = np.diff(offsets)
+        n_tri = np.maximum(lens - 2, 0)
+        k = len(self.langs)
+        totals = np.zeros((n, k), dtype=np.float64)
+        if data.size >= 3:
+            ids = _trigram_ids(data)
+            contrib = self.logp[ids]  # [n_tri_flat, k] float32
+            # zero out trigrams straddling row boundaries (positions
+            # end-2, end-1 for every interior row end)
+            ends = offsets[1:-1]
+            bad = np.r_[ends - 2, ends - 1]
+            bad = bad[(bad >= 0) & (bad < contrib.shape[0])]
+            contrib[bad] = 0.0
+            starts = np.minimum(offsets[:-1], max(contrib.shape[0] - 1, 0))
+            totals = np.add.reduceat(contrib, starts, axis=0).astype(np.float64)
+            totals[n_tri == 0] = 0.0  # reduceat quirk on empty segments
+        best = totals.argmax(axis=1)
+        # posterior via softmax of total log-likelihood (uniform prior)
+        shifted = totals - totals.max(axis=1, keepdims=True)
+        expd = np.exp(shifted)
+        conf = expd[np.arange(n), best] / expd.sum(axis=1)
+        pred = self.langs[best].copy()
+        pred[n_tri == 0] = "unknown"
+        conf[n_tri == 0] = 0.0
         out = batch.append_column("lang_pred", pa.array(pred, pa.string()))
         out = out.append_column("lang_conf", pa.array(conf, pa.float64()))
         return out
@@ -88,7 +180,7 @@ def _training_corpus(seed: int = 1234, per_lang: int = 30) -> bytes:
     """
     rng = np.random.default_rng(seed)
     parts = []
-    for lang in LANG_KEYWORDS:
+    for lang in LANGS:
         for _ in range(per_lang):
             parts.append(_clean_content(rng, lang))
     return "\n".join(parts).encode("utf-8")
