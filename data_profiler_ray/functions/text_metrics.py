@@ -93,30 +93,144 @@ def sha256_hex(arr: pa.Array) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
-def utf8_validity(binary_arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+_UTF8_BOM = b"\xef\xbb\xbf"
+
+
+def _classify_utf8_error(b: bytes, start: int) -> tuple[str, int]:
+    """Classify the invalid sequence at ``start`` the way the reference
+    ``UTF8Validator`` does (``ingest.py:150-280``): returns
+    (error_kind, byte_offset). Continuation-byte errors point at the bad
+    continuation byte; all other kinds point at the sequence start."""
+    b0 = b[start]
+    if 0x80 <= b0 < 0xC0 or b0 >= 0xF8:
+        return "invalid_start_byte", start
+    seq_len = 2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+    if start + seq_len > len(b):
+        return "truncated_sequence", start
+    for i in range(1, seq_len):
+        if not (0x80 <= b[start + i] < 0xC0):
+            return "invalid_continuation_byte", start + i
+    if seq_len == 2:
+        cp = ((b0 & 0x1F) << 6) | (b[start + 1] & 0x3F)
+        if cp < 0x80:
+            return "overlong_encoding", start
+    elif seq_len == 3:
+        cp = ((b0 & 0x0F) << 12) | ((b[start + 1] & 0x3F) << 6) | (b[start + 2] & 0x3F)
+        if cp < 0x800:
+            return "overlong_encoding", start
+        if 0xD800 <= cp <= 0xDFFF:
+            return "surrogate", start
+    else:
+        cp = (
+            ((b0 & 0x07) << 18)
+            | ((b[start + 1] & 0x3F) << 12)
+            | ((b[start + 2] & 0x3F) << 6)
+            | (b[start + 3] & 0x3F)
+        )
+        if cp < 0x10000:
+            return "overlong_encoding", start
+        if cp > 0x10FFFF:
+            return "out_of_range", start
+    return "invalid_sequence", start  # pragma: no cover - decode() agreed
+
+
+def utf8_validity(
+    binary_arr: pa.Array, *, with_detail: bool = False
+) -> tuple[pa.Array, ...]:
     """Validate UTF-8 per row of a binary array.
 
-    Returns ``(valid: bool, error_offset: int64)`` where error_offset is
-    the exact byte offset of the first invalid sequence (-1 when valid) —
+    Returns ``(valid: bool, error_offset: int64)`` — error_offset is the
+    exact byte offset of the first invalid sequence (-1 when valid),
     matching the reference's ``UTF8Validator`` contract
-    (``ingest.py:81-279``: is_valid + byte_offset).
+    (``ingest.py:81-279``: is_valid + byte_offset). With
+    ``with_detail=True`` also returns ``(has_bom: bool,
+    error_kind: string)`` with the reference's error taxonomy
+    (invalid start/continuation byte, truncated, overlong, surrogate,
+    out-of-range).
+
+    Fast path: ONE ``str(view, "utf-8")`` decode of the whole values
+    buffer — when it succeeds and no row begins with a continuation byte,
+    every row is valid with zero per-row work (the common case). On
+    failure, decoding resumes after each bad row (bisect-style), so work
+    is proportional to the number of invalid rows, not total rows.
     """
-    valid = []
-    offsets = []
-    for v in binary_arr:
-        if v is None:
-            valid.append(True)
-            offsets.append(-1)
-            continue
-        b = v.as_py()
+    binary = binary_arr
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    binary = binary.cast(pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    n = len(binary)
+    valid = np.ones(n, dtype=bool)
+    err_off = np.full(n, -1, dtype=np.int64)
+    kinds: list[str | None] = [None] * n
+    has_bom = np.zeros(n, dtype=bool)
+    if n == 0:
+        out = (pa.array(valid), pa.array(err_off, pa.int64()))
+        if with_detail:
+            out += (pa.array(has_bom), pa.array(kinds, pa.string()))
+        return out
+
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    view = memoryview(buf) if buf is not None else memoryview(b"")
+    data = np.frombuffer(view, dtype=np.uint8) if len(view) else np.zeros(0, np.uint8)
+    lens = np.diff(offsets)
+    total = int(offsets[-1])
+
+    if with_detail and data.size >= 3:
+        starts3 = offsets[:-1][lens >= 3]
+        bom_hits = (
+            (data[starts3] == 0xEF)
+            & (data[starts3 + 1] == 0xBB)
+            & (data[starts3 + 2] == 0xBF)
+        )
+        has_bom[np.flatnonzero(lens >= 3)[bom_hits]] = True
+
+    # rows starting with a continuation byte can be masked by a valid
+    # cross-row sequence in the flat decode — recheck them (and their
+    # predecessors) individually.
+    nz = lens > 0
+    cont_start = np.zeros(n, dtype=bool)
+    cont_start[nz] = (data[offsets[:-1][nz]] & 0xC0) == 0x80
+
+    def check_row(i: int) -> None:
+        a, b = int(offsets[i]), int(offsets[i + 1])
         try:
-            b.decode("utf-8", errors="strict")
-            valid.append(True)
-            offsets.append(-1)
+            str(view[a:b], "utf-8", "strict")
+            valid[i] = True
+            err_off[i] = -1
+            kinds[i] = None
         except UnicodeDecodeError as e:
-            valid.append(False)
-            offsets.append(e.start)
-    return pa.array(valid, pa.bool_()), pa.array(offsets, pa.int64())
+            valid[i] = False
+            row = bytes(view[a:b])
+            kinds[i], err_off[i] = _classify_utf8_error(row, e.start)
+
+    row = 0
+    pos = 0
+    while row < n:
+        try:
+            str(view[pos:total], "utf-8", "strict")
+            break  # everything from `row` on decodes flat-clean
+        except UnicodeDecodeError as e:
+            p = pos + e.start
+            bad = int(np.searchsorted(offsets, p, side="right") - 1)
+            check_row(bad)
+            if valid[bad]:  # flat error was a cross-row artifact
+                cont_start[min(bad + 1, n - 1)] = True
+            row = bad + 1
+            pos = int(offsets[row]) if row < n else total
+    for i in np.flatnonzero(cont_start):
+        if i > 0:
+            check_row(i - 1)
+        check_row(i)
+
+    out = (pa.array(valid), pa.array(err_off, pa.int64()))
+    if with_detail:
+        out += (pa.array(has_bom), pa.array(kinds, pa.string()))
+    return out
 
 
 def _reduceat_safe(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -15,7 +15,7 @@ small by construction, and pair verification touches only candidates.
 
 from __future__ import annotations
 
-import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -23,7 +23,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+_LOG = logging.getLogger(__name__)
+
 _MERSENNE = (1 << 61) - 1
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for a contiguous uint64 array (byte LUT)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)]
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def _log_truncated(kind: str, bucket_size: int, cap: int) -> None:
+    """No-silent-caps rule: record every truncated bucket."""
+    _LOG.warning(
+        "%s bucket truncated: size %d > cap %d (dropped %d members)",
+        kind,
+        bucket_size,
+        cap,
+        bucket_size - cap,
+    )
 
 
 def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
@@ -83,16 +109,93 @@ class MinHasher:
             m = self.a[:, None] * x[None, :] + self.b[:, None]
         return m.min(axis=1)
 
+    def signatures_batch(self, texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Whole-batch signature matrix ``[n, num_perm]`` (uint64) — same
+        values as per-row :meth:`signature`, computed off the flat Arrow
+        values buffer with no per-row Python.
+
+        Per permutation: one multiply-add over ALL windows in the batch,
+        boundary-crossing windows masked to the max sentinel, segmented
+        min via ``np.minimum.reduceat``. Rows shorter than ``shingle_n``
+        bytes (zero-padded by the per-row spec) are the only per-row
+        fallback — rare by construction.
+        """
+        n_gram = self.shingle_n
+        binary = pc.cast(pc.fill_null(texts, ""), pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        n = len(binary)
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if n == 0:
+            return sigs
+        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+            binary.offset : binary.offset + n + 1
+        ]
+        data_buf = binary.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        lens = np.diff(offsets)
+        n_win = np.maximum(lens - n_gram + 1, 0)
+        short = np.flatnonzero(lens < n_gram)
+
+        if data.size >= n_gram:
+            arr = data.astype(np.uint64)
+            k = len(arr) - n_gram + 1
+            base = np.uint64(1099511628211)
+            acc = np.zeros(k, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for i in range(n_gram):
+                    acc = acc * base + arr[i : i + k]
+            # windows crossing row boundaries are invalid
+            invalid = np.zeros(k, dtype=bool)
+            for d in range(1, n_gram):
+                pos = offsets[1:-1] - d
+                pos = pos[(pos >= 0) & (pos < k)]
+                invalid[pos] = True
+            starts = np.minimum(offsets[:-1], k - 1)
+            sentinel = np.uint64(np.iinfo(np.uint64).max)
+            with np.errstate(over="ignore"):
+                for j in range(self.num_perm):
+                    m = self.a[j] * acc + self.b[j]
+                    m[invalid] = sentinel
+                    mins = np.minimum.reduceat(m, starts)
+                    mins[n_win == 0] = sentinel
+                    sigs[:, j] = mins
+
+        # per-row spec path for short rows (zero-padded single window)
+        for i in short:
+            text = bytes(data[offsets[i] : offsets[i + 1]]).decode("utf-8", "ignore")
+            sigs[i] = self.signature(text)
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack([self.signature(t or "") for t in texts]) if texts else np.zeros((0, self.num_perm), dtype=np.uint64)
+        sigs = self.signatures_batch(batch[self.text_col])
         return pa.table(
             {
                 self.id_col: pa.array(ids),
                 "sig": pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())),
             }
         )
+
+
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized per-band bucket hashes ``[n, bands]`` (non-negative
+    int64): FNV-1a-style mix over each band's signature values, with the
+    band index folded in so buckets never collide across bands."""
+    n, num_perm = sigs.shape
+    rpb = num_perm // bands
+    s = sigs.reshape(n, bands, rpb)
+    prime = np.uint64(1099511628211)
+    acc = np.full((n, bands), 14695981039346656037, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rpb):
+            acc = (acc ^ s[:, :, r]) * prime
+        acc = (acc ^ np.arange(bands, dtype=np.uint64)[None, :]) * prime
+    return (acc >> np.uint64(1)).astype(np.int64)
 
 
 def minhash_lsh_pairs(
@@ -117,7 +220,6 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
-    rows_per_band = num_perm // bands
     hasher_kwargs = dict(
         num_perm=num_perm, shingle_n=shingle_n, text_col=text_col,
         id_col=id_col, seed=seed,
@@ -129,54 +231,77 @@ def minhash_lsh_pairs(
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        # Banding rows carry ONLY (band, bhash, id) — ~20 B each — not the
+        # full signature (the round-1 version shipped the 512 B signature
+        # into all 16 band rows: 16x redundant shuffle bytes). Estimation
+        # happens in a second, candidate-only phase below.
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig_list = batch["sig"].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, sig in enumerate(sig_list):
-            s = np.asarray(sig, dtype=np.int64)
-            for b in range(bands):
-                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(ids[i])
-                out_sig.append(sig)
+        n = len(ids)
+        sig_col = batch["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        mat = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(n, num_perm)
+        bh = _band_hashes(mat.astype(np.uint64), bands)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bhash": pa.array(out_hash, pa.int64()),
-                id_col: pa.array(out_id),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+                ),
+                "bhash": pa.array(bh.reshape(-1), pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands)),
             }
         )
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(g) > bucket_cap:
+            _log_truncated("minhash-lsh", len(g), bucket_cap)
         g = g.sort_values(id_col).head(bucket_cap)
         ids = g[id_col].to_numpy()
-        sigs_m = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs_m[i + 1 :] == sigs_m[i]).mean(axis=1)
-            for j, est in enumerate(eq):
-                if est >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + j])
-                    out_j.append(float(est))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
 
-    pairs = banded.groupby(["band", "bhash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    ).to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["est_jaccard"].max()
-    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cand = (
+        banded.groupby(["band", "bhash"])
+        .map_groups(bucket_candidates, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "est_jaccard": pd.Series(dtype="float64"),
+        }
+    )
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates(ignore_index=True)
+
+    # Phase 2: estimate Jaccard from full signatures for candidates only
+    # (semi-join: broadcast candidate id set, recompute signatures for the
+    # matching rows — candidates are small by LSH construction).
+    wanted = pa.array(sorted(set(cand["id_a"]).union(cand["id_b"])))
+
+    def fetch_sigs(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+        hasher = MinHasher(**hasher_kwargs)
+        return hasher(sub)
+
+    sig_df = ds.map_batches(fetch_sigs, batch_format="pyarrow").to_pandas()
+    sig_map = {
+        i: np.asarray(s, dtype=np.int64)
+        for i, s in zip(sig_df[id_col], sig_df["sig"])
+    }
+    sig_a = np.stack([sig_map[i] for i in cand["id_a"]])
+    sig_b = np.stack([sig_map[i] for i in cand["id_b"]])
+    est = (sig_a == sig_b).mean(axis=1)
+    out = cand.assign(est_jaccard=est)[est >= threshold]
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +322,42 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Whole-batch simhash (uint64[n]) — same values as per-row
+    :func:`simhash64`, no per-row Python.
+
+    Tokens via Arrow ``utf8_split_whitespace`` (empties filtered to match
+    ``str.split()``), token hashes via the same ``pd.util.hash_array``,
+    per-bit majority via one ``[n_tokens, 64]`` contribution matrix and a
+    segmented ``np.add.reduceat``.
+    """
+    tok_list = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    if isinstance(tok_list, pa.ChunkedArray):
+        tok_list = tok_list.combine_chunks()
+    n = len(tok_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    flat = tok_list.flatten()
+    parent = pc.list_parent_indices(tok_list).to_numpy(zero_copy_only=False)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    toks = flat.to_numpy(zero_copy_only=False)[nonempty]
+    parent = parent[nonempty]
+    if len(toks) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    h = pd.util.hash_array(toks).astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    contrib = 2 * bits - 1
+    counts = np.bincount(parent, minlength=n)
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    starts_c = np.minimum(starts, max(len(contrib) - 1, 0))
+    v = np.add.reduceat(contrib, starts_c, axis=0)
+    v[counts == 0] = -1  # reduceat quirk on empty segments -> all bits 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return ((v > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash_pairs(
     ds: ray.data.Dataset,
     *,
@@ -208,51 +369,55 @@ def simhash_pairs(
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
     Blocking: 4×16-bit bands — any pair within Hamming<=3 of 64 bits
-    must agree exactly on at least one band (pigeonhole), so bucket
-    groupby finds all such pairs.
+    must agree exactly on at least one band (pigeonhole). All four bands
+    are exploded into (band, bval) rows so candidate generation is ONE
+    ``groupby`` shuffle (the round-1 version ran 4 shuffles, each
+    collected to the driver); Hamming distances use a vectorized byte-LUT
+    popcount.
     """
 
-    def sign(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
+    def sign_explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        hs = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
-        out = {id_col: pa.array(ids), "simhash": pa.array(hs.astype(np.int64))}
-        for b in range(4):
-            out[f"band{b}"] = pa.array(
-                ((hs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            )
-        return pa.table(out)
+        hs = simhash_batch(batch[text_col])
+        n = len(ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = np.uint64(16) * np.tile(np.arange(4, dtype=np.uint64), n)
+        hs_rep = np.repeat(hs, 4)
+        bvals = ((hs_rep >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "bval": pa.array(bvals, pa.int64()),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(hs_rep.astype(np.int64)),
+            }
+        )
 
-    signed = ds.map_batches(sign, batch_format="pyarrow")
+    exploded = ds.map_batches(sign_explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if len(g) > bucket_cap:
+            _log_truncated("simhash", len(g), bucket_cap)
         g = g.sort_values(id_col).head(bucket_cap)
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = hs[i + 1 :] ^ hs[i]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(d <= max_hamming):
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_h.append(int(d[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
-
-    all_pairs = []
-    for b in range(4):
-        p = (
-            signed.groupby(f"band{b}")
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = _popcount64(hs[iu] ^ hs[ju])
+        hit = d <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[iu[hit]], "id_b": ids[ju[hit]], "hamming": d[hit]}
         )
-        if not p.empty:
-            all_pairs.append(p)
-    if not all_pairs:
+
+    pairs = (
+        exploded.groupby(["band", "bval"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    pairs = pd.concat(all_pairs).groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -414,6 +579,8 @@ def embedding_near_dup_lsh(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(g) > bucket_cap:
+            _log_truncated("embedding-lsh", len(g), bucket_cap)
         g = g.sort_values(id_col).head(bucket_cap)
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))

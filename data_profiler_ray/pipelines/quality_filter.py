@@ -29,6 +29,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -42,6 +44,8 @@ from ..functions.text_metrics import compute_text_metrics, sha256_hex
 from ..stages.rules import KeepDropRules
 from ..stages.scorers import LangIDScorer, PerplexityScorer
 from ..stages.scrub import PIIScrub
+
+_LOG = logging.getLogger(__name__)
 
 # Per-worker-process caches so stateless task stages still amortize setup.
 _PROCESS_CACHE: dict = {}
@@ -145,6 +149,7 @@ def compute_dup_state(
     with_keepers: bool = True,
     with_dup_lines: bool = True,
     driver_threshold_rows: int = 20_000_000,
+    driver_partial_row_cap: int | None = None,
 ) -> tuple[dict[tuple[int, int], str], dict[str, float] | None]:
     """ONE content scan producing both broadcast sides of the flagship:
 
@@ -169,9 +174,21 @@ def compute_dup_state(
       (``groupby(bucket).map_groups``, only duplicated hashes emitted)
       plus the ``dup_lines`` groupby-merge. Nothing large ever sits on
       the driver.
+
+    The small-path guard is enforced on the COMBINER OUTPUT, not just the
+    input: partials stream to the driver via ``iter_batches`` with a hard
+    row cap (``driver_partial_row_cap``, default ``driver_threshold_rows``),
+    so a low-duplication corpus whose combiner rows approach input size
+    aborts the collect mid-stream and falls back to the fully-distributed
+    plan instead of exhausting driver memory.
     """
     n_buckets = 64
     n_rows = ds.count()
+    partial_cap = (
+        driver_partial_row_cap
+        if driver_partial_row_cap is not None
+        else driver_threshold_rows
+    )
 
     if n_rows <= driver_threshold_rows:
         def fused_partial(batch: pa.Table) -> pa.Table:
@@ -213,22 +230,50 @@ def compute_dup_state(
                 }
             )
 
-        pdf = ds.map_batches(fused_partial, batch_format="pyarrow").to_pandas()
-        sha = pdf[pdf["kind"] == 0]
-        rate_map = None
-        if with_dup_lines:
-            hll = pdf[pdf["kind"] == 1]
-            rate_map = _merge_hll_rows(hll["g"], hll["reg"], hll["cnt"])
+        # stream-collect partials with a hard cap on accumulated rows
+        collected: list[pa.Table] = []
+        got = 0
+        aborted = False
+        for t in ds.map_batches(fused_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            collected.append(t)
+            got += len(t)
+            if got > partial_cap:
+                aborted = True
+                break
+        if not aborted:
+            pdf = (
+                pa.concat_tables(collected).to_pandas()
+                if collected
+                else pd.DataFrame(
+                    {"kind": [], "h1": [], "h2": [], "min_rowkey": [],
+                     "cnt": [], "g": [], "reg": []}
+                )
+            )
+            sha = pdf[pdf["kind"] == 0]
+            rate_map = None
+            if with_dup_lines:
+                hll = pdf[pdf["kind"] == 1]
+                rate_map = _merge_hll_rows(hll["g"], hll["reg"], hll["cnt"])
 
-        dup_mask = sha.duplicated(subset=["h1", "h2"], keep=False) | (sha["cnt"] > 1)
-        dups = sha[dup_mask]
-        if dups.empty:
-            return {}, rate_map
-        agg = dups.groupby(["h1", "h2"]).agg(
-            cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
+            dup_mask = sha.duplicated(subset=["h1", "h2"], keep=False) | (
+                sha["cnt"] > 1
+            )
+            dups = sha[dup_mask]
+            if dups.empty:
+                return {}, rate_map
+            agg = dups.groupby(["h1", "h2"]).agg(
+                cnt=("cnt", "sum"), min_rowkey=("min_rowkey", "min")
+            )
+            agg = agg[agg.cnt > 1]
+            return dict(zip(agg.index, agg["min_rowkey"])), rate_map
+        del collected
+        _LOG.warning(
+            "dup-state combiner output exceeded %d rows on the driver; "
+            "falling back to the distributed bucket plan",
+            partial_cap,
         )
-        agg = agg[agg.cnt > 1]
-        return dict(zip(agg.index, agg["min_rowkey"])), rate_map
 
     # large path: two passes, each fully distributed
     rate_map = None

@@ -116,3 +116,35 @@ def test_embedding_near_dup(emb):
     assert (10, 20) in set(zip(bf.id_a, bf.id_b))
     lsh = embedding_near_dup_lsh(ds, tau=0.99, n_tables=12, n_bits=4)
     assert (10, 20) in set(zip(lsh.id_a, lsh.id_b))
+
+
+def test_minhash_batch_matches_per_row():
+    # the vectorized batch path must reproduce the per-row signature spec,
+    # including short (< shingle_n bytes) and empty rows
+    from data_profiler_ray.pipelines.neardup import MinHasher
+
+    h = MinHasher(num_perm=32, shingle_n=5)
+    texts = ["hello world this is content", "", "ab", "hello world this is content",
+             "xyzzy " * 30, "a\nb\nc\nlonger line here"]
+    batch_sigs = h.signatures_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert (batch_sigs[i] == h.signature(t)).all(), f"row {i}"
+
+
+def test_simhash_batch_matches_per_row():
+    from data_profiler_ray.pipelines.neardup import simhash_batch
+
+    texts = ["hello world", "", "  padded  tokens  ", "one", "a b c d e f g"]
+    batch = simhash_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64(t), f"row {i}"
+
+
+def test_popcount64_vectorized():
+    from data_profiler_ray.pipelines.neardup import _popcount64
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 2**64, 1000, dtype=np.uint64)
+    x = np.r_[x, np.uint64([0, 1, 2**63, 2**64 - 1])]
+    got = _popcount64(x)
+    assert all(int(g) == bin(int(v)).count("1") for g, v in zip(got, x))

@@ -104,3 +104,21 @@ def test_dup_content_priority_over_perplexity_and_toxicity():
     out = KeepDropRules()(batch)
     assert out["keep"].to_pylist() == [False]
     assert out["reason"].to_pylist() == [E_DUP_CONTENT]
+
+
+def test_dup_state_partial_cap_falls_back_to_bucket_path(ray_session):
+    # combiner-output guard: a tiny partial-row cap must abort the driver
+    # collect and produce the same keeper map via the distributed plan.
+    from data_profiler_ray.pipelines.quality_filter import compute_dup_state
+
+    oracle = generate_code_table(300, seed=23)
+    ds = ray.data.from_arrow(strip_oracle_columns(oracle)).repartition(4)
+    keep_small, rates_small = compute_dup_state(ds, with_dup_lines=True)
+    keep_bucket, rates_bucket = compute_dup_state(
+        ds, with_dup_lines=True, driver_partial_row_cap=5
+    )
+    assert keep_bucket == keep_small
+    assert keep_small  # the corpus plants duplicates
+    assert rates_bucket is not None and rates_small is not None
+    for repo, rate in rates_small.items():
+        assert abs(rates_bucket[repo] - rate) < 1e-9

@@ -82,3 +82,40 @@ def test_alnum_ratio_and_flags():
 def test_empty_batch():
     out = compute_text_metrics(T([]))
     assert len(out) == 0
+
+
+def test_utf8_validity_error_taxonomy():
+    # reference UTF8Validator error classes (ingest.py:150-280)
+    cases = [
+        (b"good ascii", True, -1, None),
+        (b"\xef\xbb\xbfwith bom", True, -1, None),
+        (b"ab\x80cd", False, 2, "invalid_start_byte"),
+        (b"ab\xc0\x80", False, 2, "overlong_encoding"),
+        (b"\xed\xa0\x80x", False, 0, "surrogate"),
+        (b"\xf4\x90\x80\x80", False, 0, "out_of_range"),
+        (b"ab\xc3", False, 2, "truncated_sequence"),
+        (b"\xc3\x28ok", False, 1, "invalid_continuation_byte"),
+        (b"\xf8abc", False, 0, "invalid_start_byte"),
+    ]
+    arr = pa.array([c[0] for c in cases], pa.binary())
+    valid, off, bom, kind = utf8_validity(arr, with_detail=True)
+    assert valid.to_pylist() == [c[1] for c in cases]
+    assert off.to_pylist() == [c[2] for c in cases]
+    assert kind.to_pylist() == [c[3] for c in cases]
+    assert bom.to_pylist() == [False, True] + [False] * 7
+
+
+def test_utf8_validity_cross_row_sequence_not_masked():
+    # a multi-byte char split across two rows decodes fine in the flat
+    # buffer but BOTH rows are individually invalid
+    arr = pa.array([b"\xc3", b"\xa9", b"ok"], pa.binary())
+    valid, off = utf8_validity(arr)
+    assert valid.to_pylist() == [False, False, True]
+    assert off.to_pylist() == [0, 0, -1]
+
+
+def test_utf8_validity_nulls_and_empty():
+    arr = pa.array([None, b"", b"x"], pa.binary())
+    valid, off = utf8_validity(arr)
+    assert valid.to_pylist() == [True, True, True]
+    assert off.to_pylist() == [-1, -1, -1]
