@@ -1,0 +1,194 @@
+"""Error code registry: friendly messages + distributed error summaries.
+
+Parity targets:
+- M13 friendly-error mapper — the reference maps technical error codes to
+  actionable user guidance (``/root/reference/api/routers/runs.py:211-259``);
+  this module covers BOTH the reference's ingest codes and this engine's
+  row-level drop/warn codes.
+- G9 ErrorAggregator summaries — per-code count, fraction of rows, and
+  first-occurrence identity (``/root/reference/api/services/errors.py:
+  187-218``), re-expressed as a per-batch combiner + one tiny groupby
+  over the labeled Dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .config import (
+    DROP_REASONS,
+    E_BLANK_HEAVY,
+    E_DUP_CONTENT,
+    E_DUP_LINES,
+    E_EMPTY,
+    E_HIGH_PERPLEXITY,
+    E_LOW_ALNUM,
+    E_MINIFIED,
+    E_TOXIC,
+    E_UTF8_INVALID,
+    W_LANG_MISMATCH,
+    W_PII_SCRUBBED,
+)
+
+# Actionable guidance per code (reference pattern runs.py:211-259: explain
+# the likely cause, then concrete next steps). Worded for this engine.
+FRIENDLY_MESSAGES: dict[str, str] = {
+    # ingest-time codes (sources/ingest.py)
+    "E_QUOTE_RULE": (
+        "CSV quoting is inconsistent. Check that fields containing the "
+        "delimiter are quoted, that quotes are balanced, and that the "
+        "configured quote character matches the file."
+    ),
+    "E_JAGGED_ROW": (
+        "A row has a different column count than the header. Check for "
+        "extra/missing delimiters, re-run delimiter auto-detection, or "
+        "look for embedded line breaks in unquoted fields."
+    ),
+    "E_HEADER_MISSING": (
+        "The header row could not be read. Confirm the file is non-empty, "
+        "starts with a header line, and uses the configured delimiter."
+    ),
+    "E_UNQUOTED_DELIM": (
+        "A delimiter appears inside an unquoted field. Quote fields that "
+        "contain delimiters, or switch to a delimiter that does not occur "
+        "in the data."
+    ),
+    E_UTF8_INVALID: (
+        "The content is not valid UTF-8. Re-encode the file as UTF-8, "
+        "replace the invalid bytes, or check whether the file is binary."
+    ),
+    # row-level drop reasons (config.DROP_REASONS)
+    E_EMPTY: (
+        "The document has no usable content. Verify the extraction step "
+        "produced text, or drop the source file."
+    ),
+    E_MINIFIED: (
+        "A line exceeds the maximum length — typically minified or "
+        "generated code. Raise max_line_len if such files are wanted, or "
+        "pre-format the source."
+    ),
+    E_LOW_ALNUM: (
+        "Too few alphanumeric characters — typically binary-ish or "
+        "symbol-heavy content. Lower min_alnum_ratio to keep such files."
+    ),
+    E_BLANK_HEAVY: (
+        "Mostly blank lines — typically templates or padding. Raise "
+        "max_blank_line_frac to keep such files."
+    ),
+    E_DUP_LINES: (
+        "Most lines repeat within the file — typically boilerplate or "
+        "log spam. Raise max_dup_line_rate to keep such files."
+    ),
+    E_DUP_CONTENT: (
+        "Exact duplicate of another document; only the keeper (smallest "
+        "repo/path) is retained. Disable dedup to keep every copy."
+    ),
+    E_HIGH_PERPLEXITY: (
+        "The language model scores this text as unlikely — typically "
+        "gibberish or obfuscation. Raise max_perplexity to keep it."
+    ),
+    E_TOXIC: (
+        "The toxicity lexicon matched too often. Raise max_toxicity_hits "
+        "or adjust the lexicon to keep such files."
+    ),
+    # warnings (row kept)
+    W_LANG_MISMATCH: (
+        "The detected language disagrees with the label (kept, flagged). "
+        "Check the labeling pipeline or the langid_min_confidence gate."
+    ),
+    W_PII_SCRUBBED: (
+        "PII patterns were found and redacted (kept, flagged). The "
+        "original bytes are not stored anywhere."
+    ),
+}
+
+
+def friendly_error_message(code: str, technical_msg: str = "") -> str:
+    """Code -> actionable message; unknown codes pass the technical
+    message through unchanged (reference ``friendly_error_message``
+    contract, runs.py:254-259)."""
+    friendly = FRIENDLY_MESSAGES.get(code)
+    if friendly is None:
+        return technical_msg
+    if technical_msg:
+        return f"{friendly}\n\nTechnical details: {technical_msg}"
+    return friendly
+
+
+def error_summary(
+    labeled: ray.data.Dataset,
+    *,
+    id_cols: tuple[str, str] = ("repo", "path"),
+) -> pd.DataFrame:
+    """Per-reason roll-up over a labeled Dataset (G9 ErrorAggregator
+    parity): ``(reason, message, cnt, pct, first_occurrence)`` sorted by
+    count desc; ``<keep>`` rows excluded from reasons but counted in the
+    denominator. first_occurrence = the minimum ``repo\\0path`` rowkey
+    carrying the reason — deterministic under any partitioning (the
+    reference uses first row seen, which is only meaningful single-
+    threaded).
+
+    Scale shape: per-batch combiner (one row per reason per batch) ->
+    one tiny groupby merge; nothing row-sized leaves the workers.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reason = pc.fill_null(batch["reason"], "<keep>")
+        rowkey = pc.binary_join_element_wise(
+            batch[id_cols[0]], batch[id_cols[1]], "\x00"
+        )
+        df = pd.DataFrame(
+            {
+                "reason": reason.to_numpy(zero_copy_only=False),
+                "rowkey": rowkey.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby("reason", sort=False)["rowkey"]
+            .agg(["size", "min"])
+            .reset_index()
+        )
+        g.columns = ["reason", "cnt", "first_occurrence"]
+        return pa.table(
+            {
+                "reason": pa.array(g["reason"], pa.string()),
+                "cnt": pa.array(g["cnt"].astype(np.int64)),
+                "first_occurrence": pa.array(g["first_occurrence"], pa.string()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "reason": [g["reason"].iloc[0]],
+                "cnt": [int(g["cnt"].sum())],
+                "first_occurrence": [g["first_occurrence"].min()],
+            }
+        )
+
+    rolled = (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby("reason")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(rolled["cnt"].sum())
+    out = rolled[rolled["reason"] != "<keep>"].copy()
+    out["pct"] = out["cnt"] / max(total, 1)
+    out["message"] = [FRIENDLY_MESSAGES.get(r, "") for r in out["reason"]]
+    out = out.sort_values(
+        ["cnt", "reason"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out[["reason", "message", "cnt", "pct", "first_occurrence"]]
+
+
+def all_known_codes() -> list[str]:
+    """Every registered code (drop reasons, warnings, ingest codes)."""
+    return list(FRIENDLY_MESSAGES)
+
+
+assert set(DROP_REASONS).issubset(FRIENDLY_MESSAGES)

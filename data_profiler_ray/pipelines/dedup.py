@@ -166,3 +166,97 @@ def duplicate_stats(
             "duplicate_rows": [int(parts.duplicate_rows.sum())],
         }
     )
+
+
+def duplicate_top_groups(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    n_groups: int = 10,
+    n_examples: int = 10,
+) -> pd.DataFrame:
+    """Top duplicate groups with example row identities (T3 parity).
+
+    Reference endpoint (``runs.py:1695-1766``): key = ``'|'``-join of the
+    key values; rows where any member is null OR empty are skipped; groups
+    with count>1 sorted by count desc, top ``n_groups`` each carrying its
+    first ``n_examples`` row identities. This version keys examples on
+    ``id_col`` (the smallest ids — deterministic under any partitioning,
+    unlike file row numbers) and breaks count ties by ``key_value``.
+
+    Scale shape: per-batch combiner (one row per distinct key per batch,
+    examples pre-capped), ONE ``groupby(key)`` merge emitting only
+    duplicate keys, then a sort+limit over dup keys only.
+
+    Returns ``(key_value, cnt, example_ids)`` with example_ids a
+    comma-joined, id-sorted string (oracle-friendly).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        skip = np.zeros(n, dtype=bool)
+        parts = []
+        for c in key_cols:
+            col = batch[c]
+            as_str = pc.fill_null(pc.cast(col, pa.string()), "")
+            vals = as_str.to_numpy(zero_copy_only=False).astype(object)
+            skip |= pc.is_null(col).to_numpy(zero_copy_only=False)
+            skip |= vals == ""
+            parts.append(vals)
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined + "|" + p
+        keep = ~skip
+        df = pd.DataFrame(
+            {
+                "k": joined[keep],
+                "i": batch[id_col].to_numpy(zero_copy_only=False)[keep],
+            }
+        ).sort_values("i", kind="stable")
+        g = df.groupby("k", sort=False)["i"].agg(
+            cnt="size", ex=lambda s: list(s.iloc[:n_examples])
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "k": pa.array(g["k"], pa.string()),
+                "cnt": pa.array(g["cnt"].astype(np.int64)),
+                "ex": pa.array(list(g["ex"]), pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = int(g["cnt"].sum())
+        if cnt <= 1:
+            return pd.DataFrame(
+                {"key_value": [], "cnt": [], "example_ids": []}
+            ).astype({"key_value": str, "cnt": np.int64, "example_ids": str})
+        ids = sorted(x for ex in g["ex"] for x in ex)[:n_examples]
+        return pd.DataFrame(
+            {
+                "key_value": [g["k"].iloc[0]],
+                "cnt": np.array([cnt], np.int64),
+                "example_ids": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    dup_keys = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(merge, batch_format="pandas")
+    )
+    out = (
+        dup_keys.sort(["cnt", "key_value"], descending=[True, False])
+        .limit(n_groups)
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "key_value": pd.Series(dtype=str),
+                "cnt": pd.Series(dtype=np.int64),
+                "example_ids": pd.Series(dtype=str),
+            }
+        )
+    return out.reset_index(drop=True)

@@ -567,6 +567,32 @@ def q_repo_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicate_top_groups — T3 parity: top dup groups w/ example ids
+# ---------------------------------------------------------------------------
+
+def q_duplicate_top_groups(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.dedup import duplicate_top_groups
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    return duplicate_top_groups(ds, ["o_custkey"], "o_orderkey")
+
+
+_SQL_DUPLICATE_TOP_GROUPS = """
+WITH k AS (
+  SELECT o_custkey::VARCHAR AS key_value, o_orderkey AS id
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_custkey::VARCHAR <> ''
+), g AS (
+  SELECT key_value, count(*)::BIGINT AS cnt,
+         array_to_string(list_slice(list(id ORDER BY id), 1, 10), ',') AS example_ids
+  FROM k GROUP BY key_value HAVING count(*) > 1
+)
+SELECT key_value, cnt, example_ids
+FROM g ORDER BY cnt DESC, key_value LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # dup_line_stats — cross-partition duplicate-line rate (north-star metric)
 # ---------------------------------------------------------------------------
 
@@ -771,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "duplicate_stats": q_duplicate_stats,
+        "duplicate_top_groups": q_duplicate_top_groups,
         "distinct_counts": q_distinct_counts,
         "topk_values": q_topk_values,
         "numeric_stats": q_numeric_stats,
@@ -798,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "token_stats": _SQL_TOKEN_STATS,
         "duplicate_stats": _SQL_DUPLICATE_STATS,
+        "duplicate_top_groups": _SQL_DUPLICATE_TOP_GROUPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "topk_values": _SQL_TOPK_VALUES,
         "numeric_stats": _SQL_NUMERIC_STATS,

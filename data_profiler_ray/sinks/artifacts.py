@@ -101,23 +101,203 @@ def write_metrics_csv(profiles: dict[str, dict], path: str) -> None:
             w.writerow([sanitize_csv_value(v) for v in row])
 
 
-def write_report_html(profiles: dict[str, dict], path: str, *, title: str = "Profile report") -> None:
+def _esc(v: Any) -> str:
+    s = "" if v is None else str(v)
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _stat_rows(d: dict | None, keys: list[str]) -> str:
+    if not d:
+        return ""
+    rows = []
+    for k in keys:
+        v = d.get(k)
+        if v is None or v == "":
+            continue
+        if isinstance(v, float):
+            v = f"{v:.4g}"
+        rows.append(f"<tr><td>{_esc(k)}</td><td>{_esc(v)}</td></tr>")
+    return "".join(rows)
+
+
+def _bar_table(hist: dict | None, caption: str) -> str:
+    """Histogram / distribution as a pure-HTML bar table (no JS)."""
+    if not hist:
+        return ""
+    mx = max(hist.values()) or 1
+    rows = []
+    for label, cnt in hist.items():
+        width = max(int(200 * cnt / mx), 1)
+        rows.append(
+            f"<tr><td>{_esc(label)}</td><td>{cnt}</td>"
+            f'<td><div style="background:#69c;height:10px;width:{width}px"></div></td></tr>'
+        )
+    return (
+        f"<h4>{_esc(caption)}</h4><table><tr><th>bin</th><th>count</th>"
+        f"<th></th></tr>{''.join(rows)}</table>"
+    )
+
+
+def _column_section(name: str, p: dict) -> str:
+    """One collapsible per-column section (reference report.py:496-738
+    structure: statistics, top values, distributions, violations —
+    re-rendered with <details>, none of the reference's styling)."""
+    parts = [
+        "<table>",
+        _stat_rows(
+            p,
+            [
+                "inferred_type", "detected_format", "confidence",
+                "total_count", "null_count", "distinct_count",
+                "cardinality_ratio", "duplicate_count",
+                "error_count", "warning_count",
+            ],
+        ),
+        "</table>",
+    ]
+    ns = p.get("numeric_stats") or {}
+    if ns.get("count"):
+        parts.append("<h4>Numeric stats</h4><table>")
+        parts.append(
+            _stat_rows(
+                ns,
+                ["count", "min_value", "max_value", "mean", "median",
+                 "stddev", "p25", "p75", "p95", "gaussian_p"],
+            )
+        )
+        parts.append("</table>")
+    ss = p.get("string_stats") or {}
+    if ss.get("min_length") is not None:
+        parts.append("<h4>String stats</h4><table>")
+        parts.append(_stat_rows(ss, ["min_length", "max_length", "avg_length"]))
+        parts.append("</table>")
+    for key, label in (("money_stats", "Money"), ("date_stats", "Date")):
+        st = p.get(key) or {}
+        if st:
+            parts.append(f"<h4>{label} stats</h4><table>")
+            parts.append(
+                _stat_rows(
+                    st,
+                    ["valid_count", "violation_count", "min_value",
+                     "max_value", "min_date", "max_date", "detected_format"],
+                )
+            )
+            parts.append("</table>")
+            violations = st.get("violations") or st.get("violation_examples") or {}
+            if violations:
+                parts.append("<h4>Violations</h4><table><tr><th>category</th>"
+                             "<th>count</th><th>examples</th></tr>")
+                for cat, info in violations.items():
+                    if isinstance(info, dict):
+                        cnt = info.get("count", "")
+                        ex = ", ".join(map(str, info.get("examples", [])[:3]))
+                    else:
+                        cnt, ex = info, ""
+                    parts.append(
+                        f"<tr><td>{_esc(cat)}</td><td>{_esc(cnt)}</td>"
+                        f"<td>{_esc(ex)}</td></tr>"
+                    )
+                parts.append("</table>")
+            for dist_key in ("month_distribution", "year_distribution",
+                             "dow_distribution"):
+                parts.append(_bar_table(st.get(dist_key), dist_key))
+    top = p.get("top_values") or []
+    if top:
+        parts.append("<h4>Top values</h4><table><tr><th>value</th><th>count</th></tr>")
+        for v, c in top[:10]:
+            parts.append(f"<tr><td>{_esc(v)}</td><td>{_esc(c)}</td></tr>")
+        parts.append("</table>")
+    parts.append(_bar_table(p.get("histogram"), "Histogram"))
+    parts.append(_bar_table(p.get("value_distribution"), "Value distribution"))
+    return (
+        f"<details><summary><b>{_esc(name)}</b> "
+        f"({_esc(p.get('inferred_type'))})</summary>"
+        + "".join(parts)
+        + "</details>"
+    )
+
+
+def write_report_html(
+    profiles: dict[str, dict],
+    path: str,
+    *,
+    title: str = "Profile report",
+    meta: dict | None = None,
+    errors: list[dict] | None = None,
+    warnings: list[dict] | None = None,
+    candidate_keys: list[dict] | None = None,
+) -> None:
+    """Self-contained HTML report: file summary, errors/warnings,
+    per-column collapsible profiles (stats, top values, histograms,
+    violations), candidate keys — the reference report's section
+    structure (``report.py:382-790``), none of its 890 lines of styling.
+    """
     rows = []
     for name, p in profiles.items():
         rows.append(
-            f"<tr><td>{name}</td><td>{p.get('inferred_type')}</td>"
+            f"<tr><td>{_esc(name)}</td><td>{_esc(p.get('inferred_type'))}</td>"
             f"<td>{p.get('total_count')}</td><td>{p.get('null_count')}</td>"
             f"<td>{p.get('distinct_count')}</td>"
             f"<td>{p.get('confidence', 0):.2f}</td></tr>"
         )
+
+    sections = []
+    if meta:
+        sections.append("<h2>File Summary</h2><table>")
+        sections.append(
+            "".join(
+                f"<tr><td>{_esc(k)}</td><td>{_esc(v)}</td></tr>"
+                for k, v in meta.items()
+            )
+        )
+        sections.append("</table>")
+    for label, items in (("Errors", errors), ("Warnings", warnings)):
+        if items:
+            sections.append(
+                f"<h2>{label}</h2><table><tr><th>code</th><th>count</th>"
+                "<th>message</th></tr>"
+            )
+            for it in items:
+                sections.append(
+                    f"<tr><td>{_esc(it.get('reason') or it.get('code'))}</td>"
+                    f"<td>{_esc(it.get('cnt') or it.get('count'))}</td>"
+                    f"<td>{_esc(it.get('message'))}</td></tr>"
+                )
+            sections.append("</table>")
+
+    sections.append(
+        "<h2>Column Profiles</h2>"
+        "<table><tr><th>column</th><th>type</th><th>count</th><th>nulls</th>"
+        "<th>distinct</th><th>confidence</th></tr>"
+        + "".join(rows)
+        + "</table>"
+    )
+    for name, p in profiles.items():
+        sections.append(_column_section(name, p))
+
+    if candidate_keys:
+        sections.append(
+            "<h2>Candidate Keys</h2><table><tr><th>columns</th><th>score</th>"
+            "<th>valid</th></tr>"
+        )
+        for ck in candidate_keys:
+            sections.append(
+                f"<tr><td>{_esc(ck.get('columns') or ck.get('column'))}</td>"
+                f"<td>{_esc(ck.get('score'))}</td>"
+                f"<td>{_esc(ck.get('valid'))}</td></tr>"
+            )
+        sections.append("</table>")
+
     html = f"""<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>{title}</title>
-<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
-td,th{{border:1px solid #ccc;padding:4px 10px;text-align:left}}</style></head>
-<body><h1>{title}</h1>
-<table><tr><th>column</th><th>type</th><th>count</th><th>nulls</th>
-<th>distinct</th><th>confidence</th></tr>
-{''.join(rows)}
-</table></body></html>"""
+<html><head><meta charset="utf-8"><title>{_esc(title)}</title>
+<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse;margin:4px 0}}
+td,th{{border:1px solid #ccc;padding:4px 10px;text-align:left}}
+details{{margin:6px 0;padding:4px;border:1px solid #ddd}}
+summary{{cursor:pointer}}</style></head>
+<body><h1>{_esc(title)}</h1>
+{''.join(sections)}
+</body></html>"""
     with open(path, "w", encoding="utf-8") as f:
         f.write(html)

@@ -65,7 +65,15 @@ class AuditLogger:
         )
 
     def log_error(self, code: str, message: str, count: int = 1) -> None:
-        self._append("error", code=code, message=message[:200], count=count)
+        from ..errors import friendly_error_message
+
+        self._append(
+            "error",
+            code=code,
+            message=message[:200],
+            friendly=friendly_error_message(code, "")[:400] or None,
+            count=count,
+        )
 
     def log_job_completed(self, rows_in: int, rows_out: int) -> None:
         self._append("job_completed", rows_in=rows_in, rows_out=rows_out)

@@ -82,3 +82,33 @@ def test_profile_json_and_html(tmp_path):
     write_report_html(PROFILES, hp)
     html = open(hp).read()
     assert "Age" in html and "numeric" in html
+
+
+def test_report_html_sections(tmp_path, ray_session):
+    # the enriched report renders per-column details, top values,
+    # distributions, errors, and candidate-key sections from a REAL
+    # profile (reference report.py:382-790 section structure)
+    import ray
+
+    from data_profiler_ray.pipelines.profiler import profile_table
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    profiles = profile_table(ds)
+    hp = str(tmp_path / "report.html")
+    write_report_html(
+        profiles,
+        hp,
+        meta={"rows": 1500, "source": "orders.parquet"},
+        errors=[{"reason": "E_JAGGED_ROW", "cnt": 3, "message": "jagged"}],
+        candidate_keys=[{"columns": "o_orderkey", "score": 1.0, "valid": True}],
+    )
+    html = open(hp).read()
+    assert "<h2>File Summary</h2>" in html
+    assert "<h2>Errors</h2>" in html and "E_JAGGED_ROW" in html
+    assert "<h2>Column Profiles</h2>" in html
+    assert html.count("<details>") == len(profiles)
+    assert "Top values" in html
+    assert "Numeric stats" in html
+    assert "<h2>Candidate Keys</h2>" in html and "o_orderkey" in html
+    # value injection stays escaped in html
+    assert "<script" not in html

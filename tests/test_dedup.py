@@ -66,3 +66,50 @@ def test_duplicate_stats_null_member_not_confused_with_empty(ray_session):
     assert row.distinct_keys == 1
     assert row.duplicate_keys == 1
     assert row.duplicate_rows == 1
+
+
+def test_duplicate_top_groups_reference_semantics(ray_session):
+    from data_profiler_ray.pipelines.dedup import duplicate_top_groups
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "x", "y", "y", "", None, "z"], pa.string()),
+            "b": pa.array(["1", "1", "1", "2", "2", "9", "9", "9"], pa.string()),
+            "id": pa.array([5, 3, 9, 2, 7, 1, 4, 6], pa.int64()),
+        }
+    )
+    out = duplicate_top_groups(
+        ray.data.from_arrow(t).repartition(3), ["a", "b"], "id"
+    )
+    # empty-string and null key members are skipped (runs.py:1712-1717);
+    # '|' joins; groups sorted by count desc then key
+    assert list(out.key_value) == ["x|1", "y|2"]
+    assert list(out.cnt) == [3, 2]
+    assert list(out.example_ids) == ["3,5,9", "2,7"]
+
+
+def test_duplicate_top_groups_caps_and_empty(ray_session):
+    from data_profiler_ray.pipelines.dedup import duplicate_top_groups
+
+    # examples capped at n_examples smallest ids; no dups -> empty frame
+    ids = list(range(30))
+    t = pa.table(
+        {
+            "k": pa.array(["dup"] * 25 + [f"u{i}" for i in range(5)], pa.string()),
+            "id": pa.array(ids, pa.int64()),
+        }
+    )
+    out = duplicate_top_groups(
+        ray.data.from_arrow(t).repartition(4), ["k"], "id", n_examples=4
+    )
+    assert list(out.key_value) == ["dup"]
+    assert out.example_ids.iloc[0] == "0,1,2,3"
+
+    uniq = pa.table(
+        {
+            "k": pa.array([f"u{i}" for i in range(6)], pa.string()),
+            "id": pa.array(range(6), pa.int64()),
+        }
+    )
+    empty = duplicate_top_groups(ray.data.from_arrow(uniq), ["k"], "id")
+    assert empty.empty

@@ -1,0 +1,69 @@
+"""Friendly-error mapper (M13) + error summaries (G9 parity)."""
+
+import numpy as np
+import pytest
+import ray
+
+from data_profiler_ray.config import DROP_REASONS, W_LANG_MISMATCH, W_PII_SCRUBBED
+from data_profiler_ray.errors import (
+    FRIENDLY_MESSAGES,
+    all_known_codes,
+    error_summary,
+    friendly_error_message,
+)
+
+
+def test_every_code_has_actionable_message():
+    ingest_codes = ["E_QUOTE_RULE", "E_JAGGED_ROW", "E_HEADER_MISSING", "E_UNQUOTED_DELIM"]
+    for code in DROP_REASONS + [W_LANG_MISMATCH, W_PII_SCRUBBED] + ingest_codes:
+        msg = friendly_error_message(code, "tech detail")
+        assert len(msg) > 40, code
+        assert "tech detail" in msg  # technical details preserved
+        assert friendly_error_message(code) == FRIENDLY_MESSAGES[code]
+
+
+def test_unknown_code_passthrough():
+    assert friendly_error_message("E_NEVER_HEARD_OF", "raw msg") == "raw msg"
+    assert friendly_error_message("E_NEVER_HEARD_OF") == ""
+
+
+def test_all_known_codes_cover_registry():
+    assert set(DROP_REASONS).issubset(all_known_codes())
+
+
+def test_error_summary_rollup(ray_session):
+    from data_profiler_ray.pipelines.quality_filter import build_quality_filter
+    from data_profiler_ray.sources.synthetic import (
+        generate_code_table,
+        strip_oracle_columns,
+    )
+
+    oracle = generate_code_table(300, seed=31)
+    labeled = build_quality_filter(
+        ray.data.from_arrow(strip_oracle_columns(oracle)),
+        with_scorers=False,
+        scorer_concurrency=(1, 2),
+    )
+    summ = error_summary(labeled)
+    assert not summ.empty
+    assert (summ.cnt > 0).all()
+    assert ((summ.pct > 0) & (summ.pct <= 1)).all()
+    # sorted by count desc
+    assert list(summ.cnt) == sorted(summ.cnt, reverse=True)
+    # every reason has a friendly message and a deterministic first id
+    assert (summ.message.str.len() > 0).all()
+    assert summ.first_occurrence.str.contains("\x00").all()
+    # drop + warn + keep counts account for every row
+    total_reasons = summ.cnt.sum()
+    df = labeled.to_pandas()
+    assert total_reasons == df.reason.notna().sum()
+
+
+def test_audit_log_error_includes_friendly(tmp_path):
+    from data_profiler_ray.sinks.audit import AuditLogger
+
+    log = AuditLogger(str(tmp_path / "audit.jsonl"), "job1")
+    log.log_error("E_JAGGED_ROW", "row 7 has 3 cols, expected 5")
+    ev = [e for e in log.read_events() if e["event"] == "error"][0]
+    assert ev["code"] == "E_JAGGED_ROW"
+    assert "delimiter" in ev["friendly"]
