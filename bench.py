@@ -106,13 +106,23 @@ def bench_queries() -> dict:
         "numeric_stats",
         "date_histogram",
         "knn_bruteforce",
+        "dup_line_stats",
+        "duplicate_top_groups",
+        "minhash_near_dup",
     ]
+    # first run matches the round-1 protocol (single pass, cold-ish
+    # worker arenas); the second run is the steady-state number a long
+    # job sees on this page-fault-bound sandbox. Both are reported.
     out = {}
+    steady = {}
     for name in picked:
         t0 = time.perf_counter()
         qs[name](SF_DIR)
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        t0 = time.perf_counter()
+        qs[name](SF_DIR)
+        steady[name] = round(time.perf_counter() - t0, 3)
+    return out, steady
 
 
 def bench_control() -> dict:
@@ -203,7 +213,7 @@ def main() -> None:
         "flagship_sec": flag["flagship_sec"],
     }
     if "--headline-only" not in sys.argv:
-        result["queries"] = bench_queries()
+        result["queries"], result["queries_steady"] = bench_queries()
     print(json.dumps(result))
     ray.shutdown()
 

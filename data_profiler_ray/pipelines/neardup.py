@@ -25,6 +25,9 @@ import ray
 
 _LOG = logging.getLogger(__name__)
 
+# per-worker-process instance cache for cheap-setup task-mode stages
+_PROCESS_CACHE: dict = {}
+
 _MERSENNE = (1 << 61) - 1
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -225,10 +228,19 @@ def minhash_lsh_pairs(
         id_col=id_col, seed=seed,
     )
 
-    sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pyarrow", concurrency=(1, 8),
-    )
+    # task-mode stage with a per-process instance cache: MinHasher setup
+    # is just the permutation coefficients, so long-lived task workers
+    # beat an actor pool here (actor spawn pays a serialized ~20 s arena
+    # warm-up on this sandbox; on a real cluster the two are equivalent).
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        key = ("minhasher", tuple(sorted(hasher_kwargs.items())))
+        inst = _PROCESS_CACHE.get(key)
+        if inst is None:
+            inst = MinHasher(**hasher_kwargs)
+            _PROCESS_CACHE[key] = inst
+        return inst(batch)
+
+    sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         # Banding rows carry ONLY (band, bhash, id) — ~20 B each — not the

@@ -328,15 +328,25 @@ def exact_quantiles(
     percentiles: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
     *,
     parse_strings: bool = False,
+    method: str = "search",
+    collect_threshold: int = 1_000_000,
 ) -> dict[str, float]:
     """Exact linear-interpolation percentiles (reference
     ``WelfordAggregator._percentile``, profile.py:206-230 — identical to
     numpy 'linear' and DuckDB quantile_cont).
 
-    Distributed: filter valid → ``ds.sort(col)`` (the shuffle) → stream
-    the sorted blocks through the driver counting ranks. The driver holds
-    one batch at a time — O(1) memory; the reference instead keeps every
-    value in a Python list.
+    ``method="search"`` (default, the 100-TB path): NO sort shuffle and
+    no row-sized driver traffic. Iterative range bracketing — each pass
+    is one column-pruned scan that histograms the values inside the
+    current candidate intervals (512 bins each, counts only leave the
+    workers); ranks narrow to intervals holding <= ``collect_threshold``
+    values in 2-3 passes for float data, then one final filtered collect
+    selects the exact order statistics. Total cost: ~3-4 scans, zero
+    all-to-all.
+
+    ``method="sort"``: ``ds.sort(col)`` (an all-to-all) + streaming rank
+    selection through the driver (O(1) driver memory, but up to p99 of
+    the sorted data moves through one process) — kept for verification.
     """
 
     def to_valid(batch: pa.Table) -> pa.Table:
@@ -361,6 +371,24 @@ def exact_quantiles(
         targets[f"p{p}"] = (f, c, k)
         need.update((f, c))
 
+    if method == "search":
+        found = _rank_select_search(valid, col, need, n, collect_threshold)
+    else:
+        found = _rank_select_sorted(valid, col, need)
+
+    out = {}
+    for name, (f, c, k) in targets.items():
+        if f == c:
+            out[name] = found[f]
+        else:
+            out[name] = found[f] * (c - k) + found[c] * (k - f)
+    return out
+
+
+def _rank_select_sorted(
+    valid: ray.data.Dataset, col: str, need: set[int]
+) -> dict[int, float]:
+    need = set(need)
     found: dict[int, float] = {}
     offset = 0
     for batch in valid.sort(col).iter_batches(
@@ -376,14 +404,151 @@ def exact_quantiles(
         offset = hi
         if not need:
             break
+    return found
 
-    out = {}
-    for name, (f, c, k) in targets.items():
-        if f == c:
-            out[name] = found[f]
-        else:
-            out[name] = found[f] * (c - k) + found[c] * (k - f)
-    return out
+
+def _rank_select_search(
+    valid: ray.data.Dataset,
+    col: str,
+    need: set[int],
+    n: int,
+    collect_threshold: int,
+    num_bins: int = 512,
+    max_passes: int = 48,
+) -> dict[int, float]:
+    """Exact order statistics via iterative histogram refinement.
+
+    State: disjoint intervals ``(lo, hi, below, count, ranks)`` with
+    ``below`` = #values strictly below ``lo`` and ``count`` = #values in
+    ``[lo, hi]``. Each pass histograms every interval in ONE shared scan;
+    each target rank moves into its containing bin. When every interval
+    is small (or cannot shrink: zero width / degenerate bins), one
+    filtered collect resolves the ranks exactly.
+    """
+    stats = valid.map_batches(
+        lambda t: pa.table(
+            {
+                "mn": pa.array([pc.min(t[col]).as_py()], pa.float64()),
+                "mx": pa.array([pc.max(t[col]).as_py()], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas().dropna()
+    lo0, hi0 = float(stats.mn.min()), float(stats.mx.max())
+    intervals = [
+        {"lo": lo0, "hi": hi0, "below": 0, "count": n, "ranks": sorted(need)}
+    ]
+
+    for _ in range(max_passes):
+        to_refine = [
+            iv
+            for iv in intervals
+            if iv["count"] > collect_threshold and iv["lo"] < iv["hi"]
+        ]
+        if not to_refine:
+            break
+        bounds = [(iv["lo"], iv["hi"]) for iv in to_refine]
+
+        def hist_fn(batch: pa.Table, bounds=tuple(bounds)) -> pa.Table:
+            vals = batch[col].to_numpy(zero_copy_only=False)
+            rows = []
+            for j, (lo, hi) in enumerate(bounds):
+                width = (hi - lo) / num_bins
+                sel = vals[(vals >= lo) & (vals <= hi)]
+                idx = np.clip(
+                    ((sel - lo) / width).astype(np.int64), 0, num_bins - 1
+                )
+                counts = np.bincount(idx, minlength=num_bins)
+                rows.append(
+                    pa.table(
+                        {
+                            "iv": pa.array(
+                                np.full(num_bins, j, dtype=np.int64)
+                            ),
+                            "bin": pa.array(np.arange(num_bins, dtype=np.int64)),
+                            "cnt": pa.array(counts.astype(np.int64)),
+                        }
+                    )
+                )
+            return pa.concat_tables(rows)
+
+        agg = (
+            valid.map_batches(hist_fn, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["iv", "bin"])["cnt"]
+            .sum()
+        )
+        new_intervals = []
+        progressed = False
+        for j, iv in enumerate(to_refine):
+            lo, hi = iv["lo"], iv["hi"]
+            width = (hi - lo) / num_bins
+            counts = agg.loc[j].reindex(range(num_bins), fill_value=0).to_numpy()
+            cum = np.cumsum(counts)
+            by_bin: dict[int, list[int]] = {}
+            for r in iv["ranks"]:
+                rel = r - iv["below"]
+                b = int(np.searchsorted(cum, rel, side="right"))
+                b = min(b, num_bins - 1)
+                by_bin.setdefault(b, []).append(r)
+            for b, ranks in sorted(by_bin.items()):
+                sub_lo = lo + b * width
+                sub_hi = hi if b == num_bins - 1 else lo + (b + 1) * width
+                sub_below = iv["below"] + (int(cum[b - 1]) if b > 0 else 0)
+                sub_count = int(counts[b])
+                if sub_count < iv["count"]:
+                    progressed = True
+                new_intervals.append(
+                    {
+                        "lo": sub_lo,
+                        "hi": sub_hi,
+                        "below": sub_below,
+                        "count": sub_count,
+                        "ranks": ranks,
+                    }
+                )
+        intervals = [
+            iv
+            for iv in intervals
+            if not (iv["count"] > collect_threshold and iv["lo"] < iv["hi"])
+        ] + new_intervals
+        if not progressed:
+            break  # degenerate mass on bin edges; collect what we have
+
+    # final collect: only values inside the (small) candidate intervals,
+    # pre-collapsed to per-batch (value, count) pairs so duplicate-heavy
+    # intervals (e.g. a rank sitting on 10^9 equal values) stay bounded
+    # by DISTINCT values on the driver
+    bounds = [(iv["lo"], iv["hi"]) for iv in intervals]
+
+    def collect_fn(batch: pa.Table, bounds=tuple(bounds)) -> pa.Table:
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(vals), dtype=bool)
+        for lo, hi in bounds:
+            keep |= (vals >= lo) & (vals <= hi)
+        uniq, cnt = np.unique(vals[keep], return_counts=True)
+        return pa.table(
+            {"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    pairs = (
+        valid.map_batches(collect_fn, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", sort=True)["c"]
+        .sum()
+    )
+    pool_vals = pairs.index.to_numpy(dtype=np.float64)
+    pool_cum = np.cumsum(pairs.to_numpy(dtype=np.int64))
+    found: dict[int, float] = {}
+    for iv in intervals:
+        # count of pooled values strictly below this interval's lo
+        start = int(np.searchsorted(pool_vals, iv["lo"], side="left"))
+        below_pool = int(pool_cum[start - 1]) if start > 0 else 0
+        for r in iv["ranks"]:
+            rel = below_pool + (r - iv["below"])
+            j = int(np.searchsorted(pool_cum, rel, side="right"))
+            found[r] = float(pool_vals[j])
+    return found
 
 
 def exact_median(ds: ray.data.Dataset, col: str, **kw) -> float | None:

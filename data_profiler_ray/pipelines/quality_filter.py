@@ -230,27 +230,16 @@ def compute_dup_state(
                 }
             )
 
-        # stream-collect partials with a hard cap on accumulated rows
-        collected: list[pa.Table] = []
-        got = 0
-        aborted = False
-        for t in ds.map_batches(fused_partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            collected.append(t)
-            got += len(t)
-            if got > partial_cap:
-                aborted = True
-                break
-        if not aborted:
-            pdf = (
-                pa.concat_tables(collected).to_pandas()
-                if collected
-                else pd.DataFrame(
-                    {"kind": [], "h1": [], "h2": [], "min_rowkey": [],
-                     "cnt": [], "g": [], "reg": []}
-                )
-            )
+        # materialize the (combiner-sized) partials in the object store:
+        # the count guard runs before anything reaches the driver, and the
+        # over-cap fallback resolves from these same blocks — no re-scan
+        partials = ds.map_batches(
+            fused_partial, batch_format="pyarrow"
+        ).materialize()
+        if partials.count() <= partial_cap:
+            pdf = partials.to_pandas()
+            if pdf.empty:
+                return {}, ({} if with_dup_lines else None)
             sha = pdf[pdf["kind"] == 0]
             rate_map = None
             if with_dup_lines:
@@ -268,12 +257,36 @@ def compute_dup_state(
             )
             agg = agg[agg.cnt > 1]
             return dict(zip(agg.index, agg["min_rowkey"])), rate_map
-        del collected
+
         _LOG.warning(
-            "dup-state combiner output exceeded %d rows on the driver; "
-            "falling back to the distributed bucket plan",
+            "dup-state combiner output exceeded %d rows; resolving from "
+            "the materialized partials via the distributed bucket plan",
             partial_cap,
         )
+        rate_map = None
+        if with_dup_lines:
+            hll_pdf = partials.map_batches(
+                lambda t: t.filter(pc.equal(t["kind"], 1)),
+                batch_format="pyarrow",
+            ).to_pandas()  # one HLL row per (repo, input batch) — tiny
+            rate_map = _merge_hll_rows(
+                hll_pdf["g"], hll_pdf["reg"], hll_pdf["cnt"]
+            )
+
+        def sha_with_bucket(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.equal(t["kind"], 0)).select(
+                ["h1", "h2", "min_rowkey", "cnt"]
+            )
+            bucket = (
+                sub["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                % n_buckets
+            ).astype(np.int64)
+            return sub.append_column("bucket", pa.array(bucket))
+
+        sha_partials = partials.map_batches(
+            sha_with_bucket, batch_format="pyarrow"
+        )
+        return _resolve_buckets(sha_partials), rate_map
 
     # large path: two passes, each fully distributed
     rate_map = None
@@ -292,6 +305,13 @@ def compute_dup_state(
     partials = ds.map_batches(_sha_projection, batch_format="pyarrow").map_batches(
         partial_min, batch_format="pyarrow"
     )
+    return _resolve_buckets(partials), rate_map
+
+
+def _resolve_buckets(partials: ray.data.Dataset) -> dict[tuple[int, int], str]:
+    """Bucket-shuffle resolution over sha-combiner partials: each bucket
+    merges its hashes exactly and emits only duplicated ones; nothing
+    large ever sits on the driver."""
 
     def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["h1", "h2"]).agg(
@@ -306,11 +326,8 @@ def compute_dup_state(
         .to_pandas()
     )
     if dup_pdf.empty:  # zero duplicates -> columnless empty frame
-        return {}, rate_map
-    return (
-        dict(zip(zip(dup_pdf["h1"], dup_pdf["h2"]), dup_pdf["min_rowkey"])),
-        rate_map,
-    )
+        return {}
+    return dict(zip(zip(dup_pdf["h1"], dup_pdf["h2"]), dup_pdf["min_rowkey"]))
 
 
 def compute_duplicate_keepers(

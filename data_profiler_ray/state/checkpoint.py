@@ -110,6 +110,11 @@ def run_checkpointed(
     os.makedirs(output_dir, exist_ok=True)
     partitions = plan_partitions(input_files, files_per_partition)
     done = completed_partitions(output_dir)
+    # drop stale partitions beyond the current plan (left by a previous
+    # run over a larger input list) so job_summary reflects THIS input set
+    for pid in done:
+        if pid >= len(partitions):
+            shutil.rmtree(os.path.join(output_dir, f"partition={pid}"))
     ran, skipped = [], []
 
     for pid, files in enumerate(partitions):

@@ -98,3 +98,14 @@ def test_resume_reruns_on_changed_input_list(input_files, tmp_path, ray_session)
     third = run_checkpointed(changed, out, _pipeline, files_per_partition=2)
     assert third["ran"] == []
     assert third["skipped"] == [0, 1, 2]
+
+
+def test_shrunken_plan_drops_stale_partitions(input_files, tmp_path, ray_session):
+    # a re-run over fewer files must not leave a stale partition dir
+    # inflating job_summary
+    out = str(tmp_path / "out")
+    run_checkpointed(input_files, out, _pipeline, files_per_partition=2)  # 4 parts
+    summary = run_checkpointed(input_files[:4], out, _pipeline, files_per_partition=2)
+    assert summary["partitions"] == 2
+    assert summary["rows_in"] == 200
+    assert not os.path.exists(os.path.join(out, "partition=3"))

@@ -155,3 +155,24 @@ def test_numeric_histogram_roundoff_clamp(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"v": [mn, v, mx]}))
     h = numeric_histogram(ds, "v")
     assert sum(h.values()) == 3
+
+
+def test_exact_quantiles_search_matches_sort_and_numpy(ray_session):
+    # the no-shuffle search path must equal the sort path and numpy
+    # 'linear' on adversarial shapes (dups, skew, constant column)
+    rng = np.random.default_rng(44)
+    cases = [
+        rng.standard_normal(20000),
+        np.repeat(rng.integers(0, 20, 200), 100).astype(float),
+        np.full(5000, 2.5),
+        np.exp(rng.standard_normal(10000) * 4),
+    ]
+    P = (1, 25, 50, 75, 99)
+    for vals in cases:
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+        search = exact_quantiles(ds, "v", P, method="search", collect_threshold=500)
+        sort = exact_quantiles(ds, "v", P, method="sort")
+        for p in P:
+            want = float(np.percentile(vals, p, method="linear"))
+            assert abs(search[f"p{p}"] - want) < 1e-9 * max(1, abs(want))
+            assert abs(sort[f"p{p}"] - want) < 1e-9 * max(1, abs(want))
