@@ -1,0 +1,219 @@
+"""Temporal operators over an event stream: tumbling-window aggregate,
+gap sessionization, as-of join.
+
+These are the "operators Ray Data lacks" family the task brief names
+(as-of join, windowed aggregate), composed per the custom-operator
+ladder: vectorized window/session assignment inside ``map_batches``
+plus ONE ``groupby`` co-locating each key's rows — no raw Ray tasks.
+
+Partitioning assumptions (documented per the custom-operator rule):
+- ``windowed_aggregate`` pre-aggregates per batch, so the shuffle moves
+  one row per (group, window) per batch — safe at any scale.
+- ``sessionize`` / ``asof_join`` shuffle raw per-key rows and process a
+  key's full history in one worker: a single key's rows must fit in
+  worker memory (true for per-user event history; salt or window the
+  key if a key can exceed that).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import from_pandas_clean
+
+
+def _ts_us(arr) -> np.ndarray:
+    """Timestamp column -> int64 microseconds since epoch."""
+    a = arr
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return pc.cast(a, pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def windowed_aggregate(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1h",
+) -> pd.DataFrame:
+    """Tumbling-window aggregate: per (group, window_start) event count
+    and value sum. The streaming-window analog expressed batch-first:
+    window assignment is a vectorized floor-div on the timestamp, the
+    per-batch combiner collapses to one row per (group, window), and the
+    merge is a small ``groupby().aggregate(Sum)``.
+    """
+    window_us = int(pd.Timedelta(window).value // 1000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _ts_us(batch[ts_col])
+        win = (us // window_us) * window_us
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_numpy(zero_copy_only=False),
+                "w": win,
+                "v": batch[value_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = (
+            df.groupby(["g", "w"], sort=False)["v"]
+            .agg(n="size", s="sum")
+            .reset_index()
+        )
+        return from_pandas_clean(agg)
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "w"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+        .to_pandas()
+    )
+    from .. import queries_catalog as qc
+
+    out = merged.rename(columns={"g": group_col, "w": "window_start"})
+    out["window_start"] = pd.to_datetime(out["window_start"], unit="us")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = qc._round_away(out["sum_value"], 4)
+    return out.sort_values([group_col, "window_start"]).reset_index(drop=True)
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30min",
+) -> pd.DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap``. Returns per user:
+    ``(user_id, n_events, n_sessions, max_session_events)``.
+
+    ONE shuffle co-locates each user's events; session assignment inside
+    the group is a vectorized diff + cumsum (no Python loop over rows).
+    """
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch[user_col],
+                "t": pa.array(_ts_us(batch[ts_col]), pa.int64()),
+            }
+        )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["t"].to_numpy(np.int64))
+        new_session = np.r_[True, np.diff(t) > gap_us]
+        sid = np.cumsum(new_session)
+        counts = np.bincount(sid)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [g["u"].iloc[0]],
+                "n_events": [int(len(t))],
+                "n_sessions": [int(sid[-1])],
+                "max_session_events": [int(counts.max())],
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("u")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def asof_join(
+    ds: ray.data.Dataset,
+    *,
+    by_col: str = "user_id",
+    ts_col: str = "ts",
+    left_filter: tuple[str, str] = ("event_type", "purchase"),
+    right_filter: tuple[str, str] = ("event_type", "click"),
+    left_id_col: str = "event_id",
+) -> pd.DataFrame:
+    """As-of (backward) join inside one event stream: for every LEFT row
+    (e.g. purchase), the latest RIGHT row (e.g. click) of the same key
+    with ``right.ts <= left.ts``; unmatched rows keep nulls.
+
+    Plan: ONE scan tags both sides, ONE ``groupby(key)`` co-locates
+    them, and the per-key match is a vectorized ``np.searchsorted`` of
+    left timestamps into the sorted right timestamps — the standard
+    as-of strategy when the engine lacks a native operator.
+
+    Returns ``(left_id, user_id, ts, matched_ts, gap_sec)`` with
+    ``gap_sec = (ts - matched_ts)`` in seconds rounded half-away (3dp).
+    """
+    lcol, lval = left_filter
+    rcol, rval = right_filter
+
+    def tag(batch: pa.Table) -> pa.Table:
+        side_l = pc.equal(batch[lcol], lval)
+        side_r = pc.equal(batch[rcol], rval)
+        keep = pc.or_(side_l, side_r)
+        sub = batch.filter(keep)
+        side = pc.equal(sub[lcol], lval)  # True = left
+        return pa.table(
+            {
+                "k": sub[by_col],
+                "t": pa.array(_ts_us(sub[ts_col]), pa.int64()),
+                "lid": sub[left_id_col],
+                "is_left": side,
+            }
+        )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]].sort_values("t", kind="stable")
+        right_t = np.sort(g.loc[~g["is_left"], "t"].to_numpy(np.int64))
+        if left.empty:
+            return pd.DataFrame(
+                {"lid": [], "k": [], "t": [], "mt": [], "gap": []}
+            )
+        lt = left["t"].to_numpy(np.int64)
+        if len(right_t) == 0:
+            has = np.zeros(len(lt), dtype=bool)
+            mt = np.zeros(len(lt), dtype=np.int64)
+        else:
+            pos = np.searchsorted(right_t, lt, side="right") - 1
+            has = pos >= 0
+            mt = np.where(has, right_t[np.maximum(pos, 0)], 0)
+        return pd.DataFrame(
+            {
+                "lid": left["lid"].to_numpy(),
+                "k": left["k"].to_numpy(),
+                "t": lt,
+                "mt": np.where(has, mt, np.int64(-1)),
+                "gap": np.where(has, (lt - mt) / 1e6, np.nan),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
+    )
+    from .. import queries_catalog as qc
+
+    res = pd.DataFrame(
+        {
+            "event_id": out["lid"].astype("int64"),
+            "user_id": out["k"].astype("int64"),
+            "ts": pd.to_datetime(out["t"].astype("int64"), unit="us"),
+            "last_match_ts": pd.to_datetime(
+                out["mt"].where(out["mt"] >= 0), unit="us"
+            ),
+            "gap_sec": qc._round_away(out["gap"], 3),
+        }
+    )
+    return res.sort_values("event_id").reset_index(drop=True)

@@ -567,6 +567,75 @@ def q_repo_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temporal operators over the events stream (brief: windowed aggregate,
+# sessionization, as-of join)
+# ---------------------------------------------------------------------------
+
+def q_windowed_agg(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.temporal import windowed_aggregate
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return windowed_aggregate(ds, window="1h")
+
+
+_SQL_WINDOWED_AGG = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.temporal import sessionize
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    return sessionize(ds, gap="30min")
+
+
+_SQL_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), per_session AS (
+  SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       sum(cnt)::BIGINT AS n_events,
+       count(*)::BIGINT AS n_sessions,
+       max(cnt)::BIGINT AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.temporal import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return asof_join(ds)
+
+
+_SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS last_match_ts,
+       round(epoch(p.ts - c.ts), 3) AS gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # duplicate_top_groups — T3 parity: top dup groups w/ example ids
 # ---------------------------------------------------------------------------
 
@@ -803,6 +872,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_stats": q_numeric_stats,
         "date_histogram": q_date_histogram,
         "dow_histogram": q_dow_histogram,
+        "windowed_agg": q_windowed_agg,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "candidate_keys": q_candidate_keys,
         "knn_bruteforce": q_knn,
         "embedding_near_dup": q_embedding_near_dup,
@@ -831,6 +903,9 @@ def oracle_sql() -> dict[str, str]:
         "numeric_stats": _SQL_NUMERIC_STATS,
         "date_histogram": _SQL_DATE_HISTOGRAM,
         "dow_histogram": _SQL_DOW_HISTOGRAM,
+        "windowed_agg": _SQL_WINDOWED_AGG,
+        "sessionize": _SQL_SESSIONIZE,
+        "asof_join": _SQL_ASOF_JOIN,
         "candidate_keys": _SQL_CANDIDATE_KEYS,
         "knn_bruteforce": _SQL_KNN,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,

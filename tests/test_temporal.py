@@ -1,0 +1,95 @@
+"""Temporal operators: windowed aggregate, sessionization, as-of join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.temporal import (
+    asof_join,
+    sessionize,
+    windowed_aggregate,
+)
+
+
+def _events(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [pd.Timestamp(r[2]) for r in rows], pa.timestamp("us")
+                ),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            }
+        )
+    ).repartition(2)
+
+
+def test_windowed_aggregate_tumbling(ray_session):
+    ds = _events(
+        [
+            (1, 1, "2024-01-01 00:10", "click", 1.0),
+            (2, 1, "2024-01-01 00:50", "click", 2.0),
+            (3, 1, "2024-01-01 01:10", "click", 4.0),
+            (4, 2, "2024-01-01 00:20", "view", 8.0),
+        ]
+    )
+    out = windowed_aggregate(ds, window="1h")
+    click0 = out[
+        (out.event_type == "click")
+        & (out.window_start == pd.Timestamp("2024-01-01 00:00"))
+    ].iloc[0]
+    assert click0.n_events == 2 and click0.sum_value == 3.0
+    click1 = out[
+        (out.event_type == "click")
+        & (out.window_start == pd.Timestamp("2024-01-01 01:00"))
+    ].iloc[0]
+    assert click1.n_events == 1 and click1.sum_value == 4.0
+    assert len(out) == 3
+
+
+def test_sessionize_gap_semantics(ray_session):
+    # gaps: 10min (same session), exactly 30min (same — strict >), 31min (new)
+    ds = _events(
+        [
+            (1, 1, "2024-01-01 00:00", "click", 0),
+            (2, 1, "2024-01-01 00:10", "click", 0),
+            (3, 1, "2024-01-01 00:40", "click", 0),
+            (4, 1, "2024-01-01 01:11", "click", 0),
+            (5, 2, "2024-01-01 09:00", "view", 0),
+        ]
+    )
+    out = sessionize(ds, gap="30min")
+    u1 = out[out.user_id == 1].iloc[0]
+    assert u1.n_events == 4
+    assert u1.n_sessions == 2  # exactly-30min gap does NOT split
+    assert u1.max_session_events == 3
+    u2 = out[out.user_id == 2].iloc[0]
+    assert u2.n_sessions == 1 and u2.n_events == 1
+
+
+def test_asof_join_backward_match(ray_session):
+    ds = _events(
+        [
+            (1, 1, "2024-01-01 00:00", "click", 0),
+            (2, 1, "2024-01-01 00:30", "click", 0),
+            (3, 1, "2024-01-01 00:45", "purchase", 0),   # -> click @00:30
+            (4, 1, "2024-01-01 00:30", "purchase", 0),   # ties: click @00:30
+            (5, 2, "2024-01-01 00:10", "purchase", 0),   # no click -> null
+            (6, 3, "2024-01-01 05:00", "click", 0),      # right-only user
+        ]
+    )
+    out = asof_join(ds)
+    assert list(out.event_id) == [3, 4, 5]
+    m3 = out[out.event_id == 3].iloc[0]
+    assert m3.last_match_ts == pd.Timestamp("2024-01-01 00:30")
+    assert m3.gap_sec == pytest.approx(900.0)
+    m4 = out[out.event_id == 4].iloc[0]
+    assert m4.last_match_ts == pd.Timestamp("2024-01-01 00:30")  # inclusive <=
+    assert m4.gap_sec == 0.0
+    m5 = out[out.event_id == 5].iloc[0]
+    assert pd.isna(m5.last_match_ts) and pd.isna(m5.gap_sec)
