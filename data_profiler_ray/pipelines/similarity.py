@@ -115,3 +115,100 @@ def knn_lsh(
     parts = ds.map_batches(candidates, batch_format="pyarrow").to_pandas()
     out = parts.sort_values(["sim", id_col], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, n_cells: int, n_iter: int = 12, seed: int = 7):
+    """Deterministic Lloyd k-means on L2-normalized vectors (cosine
+    k-means). Plain numpy; runs once on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float64))
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(n_iter):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_cells: int = 16,
+    sample_size: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> np.ndarray:
+    """Build an IVF index: k-means centroids from a sample, then ONE
+    pass assigning every vector to its nearest centroid and writing
+    Parquet PARTITIONED BY cell (``{index_dir}/cell=<c>/``).
+
+    The partition layout is the point: a query probing ``nprobe`` cells
+    reads ONLY those directories — pruning happens at the read, not
+    after it. Returns the centroid matrix (also saved to
+    ``centroids.npy``).
+    """
+    import os
+
+    sample_df = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_df[vec_col].to_numpy())
+    centroids = _kmeans(sample, n_cells, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        cell = (m @ cents.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cell))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def knn_ivf(
+    index_dir: str,
+    query: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate cosine top-k against an :func:`ivf_build` index:
+    probe the ``nprobe`` centroids nearest the query and read ONLY those
+    cells' Parquet partitions (column- and partition-pruned), exact
+    re-rank within. Recall grows with nprobe (= exact when
+    nprobe = n_cells)."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(centroids @ q), kind="stable")[:nprobe]
+    import glob
+
+    paths = [
+        f
+        for c in probe
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "sim": pd.Series(dtype="float64")})
+    sub = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_bruteforce(sub, q, k=k, vec_col=vec_col, id_col=id_col)

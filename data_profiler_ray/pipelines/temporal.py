@@ -217,3 +217,62 @@ def asof_join(
         }
     )
     return res.sort_values("event_id").reset_index(drop=True)
+
+
+def range_join(
+    ds: ray.data.Dataset,
+    intervals: pd.DataFrame,
+    *,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Broadcast range (interval) join: inner-join each row to every
+    interval with ``lo <= value < hi``. The intervals table is the SMALL
+    side — broadcast via ``ray.put`` and matched per batch with
+    vectorized masks; no shuffle at all (the standard plan when one side
+    of a non-equi join fits in memory; overlapping intervals produce one
+    output row per match).
+
+    Returns ``(id_col, value_col, label_col)`` sorted by (id, label).
+    """
+    iv = intervals[[lo_col, hi_col, label_col]].reset_index(drop=True)
+    iv_ref = ray.put(
+        (
+            iv[lo_col].to_numpy(np.float64),
+            iv[hi_col].to_numpy(np.float64),
+            iv[label_col].to_numpy(object),
+        )
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        los, his, labels = ray.get(iv_ref)
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_val, out_lab = [], [], []
+        for j in range(len(los)):
+            hit = (vals >= los[j]) & (vals < his[j])
+            if hit.any():
+                out_id.append(ids[hit])
+                out_val.append(vals[hit])
+                out_lab.append(np.full(int(hit.sum()), labels[j], dtype=object))
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], pa.float64()),
+                    label_col: pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                value_col: pa.array(np.concatenate(out_val), pa.float64()),
+                label_col: pa.array(np.concatenate(out_lab), pa.string()),
+            }
+        )
+
+    out = ds.map_batches(match, batch_format="pyarrow").to_pandas()
+    return out.sort_values([id_col, label_col]).reset_index(drop=True)

@@ -519,6 +519,55 @@ LIMIT 10
 """
 
 
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF index path: build (cached per sf_dir) then probe. With
+    nprobe = n_cells the probe covers every cell, so results are EXACTLY
+    the brute-force top-k — letting the approximate index share the
+    exact oracle; partial-probe recall is tested in tests/test_neardup.py."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.similarity import ivf_build, knn_ivf
+
+    n_cells = 8
+    index_dir = f"/tmp/dpr_ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ivf_build(ds, index_dir, n_cells=n_cells)
+    t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t0.filter(pc.equal(t0["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    out = knn_ivf(index_dir, q, k=10, nprobe=n_cells)
+    out["sim"] = _round_away(out["sim"], 6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.temporal import range_join
+
+    tiers = pd.DataFrame(
+        {
+            "lo": [0.0, 10.0, 5.0, 100.0],
+            "hi": [10.0, 100.0, 50.0, 1e9],
+            "label": ["low", "mid", "band", "high"],
+        }
+    )
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return range_join(ds, tiers)
+
+
+_SQL_RANGE_JOIN = """
+WITH tiers(lo, hi, label) AS (
+  VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'),
+         (5.0, 50.0, 'band'), (100.0, 1e9, 'high')
+)
+SELECT e.event_id, e.value, t.label
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+ORDER BY e.event_id, t.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup pairs (exact cosine >= tau)
 # ---------------------------------------------------------------------------
@@ -877,6 +926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "candidate_keys": q_candidate_keys,
         "knn_bruteforce": q_knn,
+        "knn_ivf": q_knn_ivf,
+        "range_join": q_range_join,
         "embedding_near_dup": q_embedding_near_dup,
         "doc_quality": q_doc_quality,
         "repo_stats": q_repo_stats,
@@ -908,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF_JOIN,
         "candidate_keys": _SQL_CANDIDATE_KEYS,
         "knn_bruteforce": _SQL_KNN,
+        "knn_ivf": _SQL_KNN,
+        "range_join": _SQL_RANGE_JOIN,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "doc_quality": _SQL_DOC_QUALITY,
         "repo_stats": _SQL_REPO_STATS,

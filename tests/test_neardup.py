@@ -148,3 +148,47 @@ def test_popcount64_vectorized():
     x = np.r_[x, np.uint64([0, 1, 2**63, 2**64 - 1])]
     got = _popcount64(x)
     assert all(int(g) == bin(int(v)).count("1") for g, v in zip(got, x))
+
+
+def test_ivf_index_and_recall(emb, tmp_path):
+    # full-probe == bruteforce exactly; partial probe finds the planted
+    # near-dup neighbor; index reads only the probed cell partitions
+    import os
+
+    from data_profiler_ray.pipelines.similarity import ivf_build, knn_ivf
+
+    ds, m = emb
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build(ds, idx, n_cells=4, seed=7)
+    assert cents.shape[1] == m.shape[1]
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    q = m[10].astype(np.float32).astype(np.float64)
+    full = knn_ivf(idx, q, k=3, nprobe=4)
+    bf = knn_bruteforce(ds, q, k=3)
+    assert list(full.vec_id) == list(bf.vec_id)
+    part = knn_ivf(idx, q, k=3, nprobe=1)
+    assert 10 in set(part.vec_id)  # query's own cell always probed
+
+
+def test_range_join_overlaps_and_bounds(ray_session):
+    from data_profiler_ray.pipelines.temporal import range_join
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "value": pa.array([5.0, 10.0, 55.0, 500.0], pa.float64()),
+        }
+    )
+    tiers = pd.DataFrame(
+        {
+            "lo": [0.0, 10.0, 5.0, 100.0],
+            "hi": [10.0, 100.0, 50.0, 1e9],
+            "label": ["low", "mid", "band", "high"],
+        }
+    )
+    out = range_join(ray.data.from_arrow(t).repartition(2), tiers)
+    got = set(zip(out.event_id, out.label))
+    # value 5.0: [0,10) and [5,50) overlap; 10.0: mid+band (lo inclusive,
+    # hi exclusive — NOT low); 55.0: mid only (beyond band hi); 500: high
+    assert got == {(1, "low"), (1, "band"), (2, "mid"), (2, "band"),
+                   (3, "mid"), (4, "high")}
