@@ -43,23 +43,41 @@ def windowed_aggregate(
     group_col: str = "event_type",
     value_col: str = "value",
     window: str = "1h",
+    slide: str | None = None,
 ) -> pd.DataFrame:
-    """Tumbling-window aggregate: per (group, window_start) event count
-    and value sum. The streaming-window analog expressed batch-first:
-    window assignment is a vectorized floor-div on the timestamp, the
+    """Windowed aggregate: per (group, window_start) event count and
+    value sum. ``slide=None`` = tumbling windows; a ``slide`` evenly
+    dividing ``window`` = hopping/sliding windows (each row lands in
+    ``window/slide`` overlapping windows).
+
+    The streaming-window analog expressed batch-first: window assignment
+    is a vectorized floor-div (replicated per hop for sliding), the
     per-batch combiner collapses to one row per (group, window), and the
     merge is a small ``groupby().aggregate(Sum)``.
     """
     window_us = int(pd.Timedelta(window).value // 1000)
+    slide_us = int(pd.Timedelta(slide).value // 1000) if slide else window_us
+    if window_us % slide_us:
+        raise ValueError("window must be a multiple of slide")
+    n_hops = window_us // slide_us
 
     def partial(batch: pa.Table) -> pa.Table:
         us = _ts_us(batch[ts_col])
-        win = (us // window_us) * window_us
+        base = us // slide_us
+        # hop k's window starts slide_us earlier; every row is in exactly
+        # n_hops windows because ts - start < (k+1)*slide <= window
+        win = np.concatenate(
+            [(base - k) * slide_us for k in range(n_hops)]
+        )
         df = pd.DataFrame(
             {
-                "g": batch[group_col].to_numpy(zero_copy_only=False),
+                "g": np.tile(
+                    batch[group_col].to_numpy(zero_copy_only=False), n_hops
+                ),
                 "w": win,
-                "v": batch[value_col].to_numpy(zero_copy_only=False),
+                "v": np.tile(
+                    batch[value_col].to_numpy(zero_copy_only=False), n_hops
+                ),
             }
         )
         agg = (

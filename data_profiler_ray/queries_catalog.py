@@ -635,6 +635,28 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sliding_window_agg(sf_dir: str) -> pd.DataFrame:
+    from .pipelines.temporal import windowed_aggregate
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return windowed_aggregate(ds, window="1h", slide="30min")
+
+
+_SQL_SLIDING_WINDOW_AGG = """
+WITH j(k) AS (VALUES (0::BIGINT), (1::BIGINT)),
+a AS (
+  SELECT event_type, value,
+         make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000)
+           AS window_start
+  FROM events CROSS JOIN j
+)
+SELECT event_type, window_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     from .pipelines.temporal import sessionize
 
@@ -922,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram": q_date_histogram,
         "dow_histogram": q_dow_histogram,
         "windowed_agg": q_windowed_agg,
+        "sliding_window_agg": q_sliding_window_agg,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "candidate_keys": q_candidate_keys,
@@ -955,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": _SQL_DATE_HISTOGRAM,
         "dow_histogram": _SQL_DOW_HISTOGRAM,
         "windowed_agg": _SQL_WINDOWED_AGG,
+        "sliding_window_agg": _SQL_SLIDING_WINDOW_AGG,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_JOIN,
         "candidate_keys": _SQL_CANDIDATE_KEYS,

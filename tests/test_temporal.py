@@ -93,3 +93,27 @@ def test_asof_join_backward_match(ray_session):
     assert m4.gap_sec == 0.0
     m5 = out[out.event_id == 5].iloc[0]
     assert pd.isna(m5.last_match_ts) and pd.isna(m5.gap_sec)
+
+
+def test_sliding_window_aggregate(ray_session):
+    # 1h windows hopping every 30min: each event lands in exactly 2 windows
+    ds = _events(
+        [
+            (1, 1, "2024-01-01 00:40", "click", 1.0),
+            (2, 1, "2024-01-01 01:10", "click", 2.0),
+        ]
+    )
+    out = windowed_aggregate(ds, window="1h", slide="30min")
+    w = {
+        (str(r.window_start), r.n_events, r.sum_value)
+        for r in out.itertuples()
+    }
+    # e1@00:40 -> [00:00,01:00) and [00:30,01:30); e2@01:10 -> [00:30,01:30)
+    # and [01:00,02:00); the overlapping 00:30 window sees both
+    assert w == {
+        ("2024-01-01 00:00:00", 1, 1.0),
+        ("2024-01-01 00:30:00", 2, 3.0),
+        ("2024-01-01 01:00:00", 1, 2.0),
+    }
+    with pytest.raises(ValueError):
+        windowed_aggregate(ds, window="1h", slide="25min")
