@@ -223,8 +223,13 @@ def utf8_validity(
             row = bad + 1
             pos = int(offsets[row]) if row < n else total
     for i in np.flatnonzero(cont_start):
-        if i > 0:
-            check_row(i - 1)
+        # the masked cross-row sequence may start in the nearest PRECEDING
+        # non-empty row (empty rows can sit between the halves)
+        j = i - 1
+        while j >= 0 and lens[j] == 0:
+            j -= 1
+        if j >= 0:
+            check_row(j)
         check_row(i)
 
     out = (pa.array(valid), pa.array(err_off, pa.int64()))

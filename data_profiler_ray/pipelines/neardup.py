@@ -158,15 +158,19 @@ class MinHasher:
                 pos = offsets[1:-1] - d
                 pos = pos[(pos >= 0) & (pos < k)]
                 invalid[pos] = True
-            starts = np.minimum(offsets[:-1], k - 1)
+            # reduce ONLY over rows that own windows: clamping empty
+            # trailing rows' starts would truncate the previous row's
+            # segment (a zero-window row's positions are all sentinel
+            # boundary windows, so skipping it keeps segments exact)
+            nonempty = n_win > 0
+            starts_ne = offsets[:-1][nonempty]
             sentinel = np.uint64(np.iinfo(np.uint64).max)
-            with np.errstate(over="ignore"):
-                for j in range(self.num_perm):
-                    m = self.a[j] * acc + self.b[j]
-                    m[invalid] = sentinel
-                    mins = np.minimum.reduceat(m, starts)
-                    mins[n_win == 0] = sentinel
-                    sigs[:, j] = mins
+            if nonempty.any():
+                with np.errstate(over="ignore"):
+                    for j in range(self.num_perm):
+                        m = self.a[j] * acc + self.b[j]
+                        m[invalid] = sentinel
+                        sigs[nonempty, j] = np.minimum.reduceat(m, starts_ne)
 
         # per-row spec path for short rows (zero-padded single window)
         for i in short:

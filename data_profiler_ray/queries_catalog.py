@@ -543,6 +543,26 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_media_metadata(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing exercised end-to-end (rows-only: binary media
+    is not SQL-expressible): sniff + header metadata + deterministic
+    feature extraction over a synthetic media corpus. Deterministic
+    output — the driver's rows-only check is stable across runs."""
+    import ray as _ray
+
+    from .stages.multimodal import media_pipeline, synth_media_table
+
+    table = synth_media_table(300, seed=7)
+    out = media_pipeline(
+        _ray.data.from_arrow(table).repartition(4), batch_size=64
+    ).to_pandas()
+    out["feat_norm"] = _round_away(
+        out["media_features"].map(lambda v: float(np.linalg.norm(v))), 4
+    )
+    out = out.drop(columns=["payload", "media_features"])
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_range_join(sf_dir: str) -> pd.DataFrame:
     from .pipelines.temporal import range_join
 
@@ -958,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "langid_scores": q_langid,
+        "media_metadata": q_media_metadata,
         "type_inference_summary": q_type_inference,
         "flagship_quality_filter": q_flagship,
     }

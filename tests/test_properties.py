@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the pure kernels: UTF-8
+validation, HLL sketch algebra, MinHash batch/row equivalence, and
+DuckDB-compatible rounding."""
+
+import hashlib
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_profiler_ray.functions.text_metrics import utf8_validity
+from data_profiler_ray.pipelines.dup_lines import (
+    hll_add_hashes,
+    hll_empty,
+    hll_estimate,
+)
+from data_profiler_ray.pipelines.neardup import MinHasher
+from data_profiler_ray.queries_catalog import _round_away
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(max_size=40), max_size=12))
+def test_utf8_validity_matches_python_decode(rows):
+    valid, off = utf8_validity(pa.array(rows, pa.binary()))
+    for i, b in enumerate(rows):
+        try:
+            b.decode("utf-8", "strict")
+            assert valid[i].as_py() is True, (i, b)
+            assert off[i].as_py() == -1
+        except UnicodeDecodeError as e:
+            assert valid[i].as_py() is False, (i, b)
+            # offset semantics differ only for continuation-byte errors,
+            # where the reference points at the bad byte inside the
+            # sequence — the reported offset always falls within
+            # [e.start, e.end) of Python's error window
+            assert e.start <= off[i].as_py() < max(e.end, e.start + 4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**64 - 1), max_size=300),
+    st.lists(st.integers(0, 2**64 - 1), max_size=300),
+)
+def test_hll_merge_is_union(a_vals, b_vals):
+    a = np.array(a_vals, dtype=np.uint64)
+    b = np.array(b_vals, dtype=np.uint64)
+    ra, rb, runion = hll_empty(10), hll_empty(10), hll_empty(10)
+    hll_add_hashes(ra, a)
+    hll_add_hashes(rb, b)
+    hll_add_hashes(runion, np.r_[a, b])
+    # merge == bulk union, and order/duplication never changes registers
+    assert (np.maximum(ra, rb) == runion).all()
+    r2 = hll_empty(10)
+    hll_add_hashes(r2, np.r_[b, a, a])
+    assert (r2 == runion).all()
+    # estimate accuracy only holds for UNIFORM hash inputs (the operator
+    # always feeds real hashes) — mix the raw values first (splitmix64)
+    def mix(x):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    uniq = np.unique(np.r_[a, b])
+    n = len(uniq)
+    if n >= 10:
+        rmixed = hll_empty(10)
+        hll_add_hashes(rmixed, mix(uniq))
+        assert abs(hll_estimate(rmixed) - n) / n < 0.35
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=16))
+def test_minhash_batch_equals_per_row(texts):
+    h = MinHasher(num_perm=16, shingle_n=5)
+    sigs = h.signatures_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert (sigs[i] == h.signature(t)).all(), t
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    st.integers(0, 6),
+)
+def test_round_away_matches_decimal_half_up(x, n):
+    got = float(_round_away(x, n))
+    want = float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )
+    # float representation noise can flip a .5 boundary seen by Decimal
+    # vs binary float; accept exact match or one ulp of the quantum
+    assert abs(got - want) <= 10.0 ** (-n) + 1e-12
