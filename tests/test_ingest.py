@@ -101,3 +101,28 @@ def test_audit_logger(tmp_path):
     raw = open(tmp_path / "audit.log.json").read()
     assert "corpus-x" not in raw
     assert events[1]["drop_histogram"] == {"E_EMPTY": 20}
+
+
+def test_read_csv_fast_matches_python_parser(tmp_path, ray_session):
+    # clean pipe-delimited file: the Arrow fast path and the per-file
+    # error-accounting parser must agree on rows and columns
+    from data_profiler_ray.sources.ingest import parse_csv_content, read_csv_fast
+
+    content = "a|b|c\n1|x|2.5\n2|y|3.5\n3|z|4.5\n"
+    p = tmp_path / "t.csv"
+    p.write_text(content)
+    ds = read_csv_fast(str(p))
+    df = ds.to_pandas()
+    parsed = parse_csv_content(content, delimiter="|", quoted=False)
+    assert list(df.columns) == parsed.header
+    assert len(df) == parsed.n_rows
+    assert df["b"].tolist() == ["x", "y", "z"]
+
+
+def test_read_csv_fast_skips_jagged_rows(tmp_path, ray_session):
+    from data_profiler_ray.sources.ingest import read_csv_fast
+
+    p = tmp_path / "jagged.csv"
+    p.write_text("a,b\n1,2\n3,4,5\n6,7\n")
+    df = read_csv_fast(str(p)).to_pandas()
+    assert len(df) == 2  # the 3-column row was skipped, not fatal
