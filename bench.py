@@ -82,7 +82,7 @@ def bench_flagship() -> dict:
     cold = one_run("cold")
     # steady-state: best of 3 (the sandbox shows high run-to-run variance;
     # min wall time = least external interference)
-    steady = min(one_run(f"steady{i}") for i in range(2))
+    steady = min(one_run(f"steady{i}") for i in range(3))
     return {
         "flagship_sec": round(steady, 3),
         "flagship_cold_sec": round(cold, 3),

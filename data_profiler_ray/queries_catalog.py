@@ -882,6 +882,53 @@ def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
+    """LSH prefilter + EXACT n-gram Jaccard verification (rows-only: the
+    two-phase candidate pipeline is not SQL-expressible)."""
+    from .pipelines.neardup import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_dedup(ds, threshold=0.8)
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "est_jaccard": pd.array([], dtype="float64"),
+                             "jaccard": pd.array([], dtype="float64")})
+    out["jaccard"] = _round_away(out["jaccard"], 6)
+    out["est_jaccard"] = _round_away(out["est_jaccard"], 6)
+    return out.reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003) summarized
+    per doc: fingerprint count + min/max fingerprint (deterministic;
+    rows-only — rolling-hash winnowing is not SQL-expressible)."""
+    from .functions.textstats import winnowing_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        n_fp, mn, mx = [], [], []
+        for t in texts:
+            fp = winnowing_fingerprints(t or "")
+            n_fp.append(len(fp))
+            mn.append(int(fp.min()) if len(fp) else 0)
+            mx.append(int(fp.max()) if len(fp) else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "min_fp": pa.array(np.array(mn, dtype=np.uint64).astype(np.int64)),
+                "max_fp": pa.array(np.array(mx, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # langid + quality score over documents (no SQL oracle — model-driven)
 # ---------------------------------------------------------------------------
@@ -977,6 +1024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_line_stats": q_dup_line_stats,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "fingerprints": q_fingerprints,
         "langid_scores": q_langid,
         "media_metadata": q_media_metadata,
         "type_inference_summary": q_type_inference,
