@@ -316,7 +316,22 @@ def q_distinct_counts(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "lineitem", _DISTINCT_COLS)
     counts = value_counts(ds, _DISTINCT_COLS)
-    out = counts.groupby("col").aggregate(Count(alias_name="distinct_cnt")).to_pandas()
+    # each (col, value) appears in exactly ONE bucket block, so per-block
+    # row counts per col sum to the exact distinct count — no second
+    # all-to-all (a Ray groupby here costs seconds of fixed cost)
+
+    def block_counts(t: "pa.Table") -> "pa.Table":
+        g = t.to_pandas().groupby("col", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "col": pa.array(g["col"], pa.string()),
+                "n": pa.array(g["n"].astype(np.int64)),
+            }
+        )
+
+    parts = counts.map_batches(block_counts, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("col", as_index=False)["n"].sum()
+    out = out.rename(columns={"n": "distinct_cnt"})
     out["distinct_cnt"] = out["distinct_cnt"].astype("int64")
     return out.sort_values("col").reset_index(drop=True)
 
