@@ -70,17 +70,23 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         )
         return from_pandas_clean(g)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
+    # 6 output groups: collect the per-batch partials (one row per group
+    # per batch) and merge on the driver — no all-to-all. math.fsum is
+    # exactly-rounded regardless of partial arrival order, so the result
+    # is MORE deterministic than a shuffle-merged float sum.
+    import math
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = (
+        parts.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .agg(
+            sum_qty=("sum_qty", lambda s: math.fsum(s)),
+            sum_base_price=("sum_base_price", lambda s: math.fsum(s)),
+            sum_disc_price=("sum_disc_price", lambda s: math.fsum(s)),
+            count_order=("count_order", "sum"),
         )
+        .reset_index()
     )
-    df = agg.to_pandas()
     df["avg_qty"] = _round_away(df.sum_qty / df.count_order, _ROUND)
     for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
         df[c] = _round_away(df[c], _ROUND)
@@ -250,15 +256,14 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
         ).reset_index()
         return from_pandas_clean(g)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
-        )
+    # handful of languages: integer partials merge on the driver (the
+    # all-to-all's fixed cost dwarfs this data)
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    df = (
+        parts.groupby("lang", sort=False)[["n_docs", "sum_tokens"]]
+        .sum()
+        .reset_index()
     )
-    df = agg.to_pandas()
     df["avg_tokens"] = _round_away(df.sum_tokens / df.n_docs, _ROUND)
     df["n_docs"] = df.n_docs.astype("int64")
     df["sum_tokens"] = df.sum_tokens.astype("int64")
@@ -432,11 +437,8 @@ def q_date_histogram(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("month", sort=False).size().reset_index(name="cnt")
         return from_pandas_clean(g)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("month")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    ).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("month", as_index=False)["cnt"].sum()
     agg["cnt"] = agg["cnt"].astype("int64")
     return agg.sort_values("month").reset_index(drop=True)
 
@@ -456,11 +458,8 @@ def q_dow_histogram(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("dow", sort=False).size().reset_index(name="cnt")
         return from_pandas_clean(g)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("dow")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    ).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dow", as_index=False)["cnt"].sum()
     agg["cnt"] = agg["cnt"].astype("int64")
     return agg.sort_values("dow").reset_index(drop=True)
 
@@ -483,7 +482,21 @@ def q_candidate_keys(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "customer", _CK_COLS)
     counts = value_counts(ds, _CK_COLS)
-    distinct = counts.groupby("col").aggregate(Count(alias_name="distinct_cnt")).to_pandas()
+
+    # same no-second-shuffle trick as distinct_counts: every (col, value)
+    # lives in exactly one bucket block
+    def block_counts(t: "pa.Table") -> "pa.Table":
+        g = t.to_pandas().groupby("col", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "col": pa.array(g["col"], pa.string()),
+                "n": pa.array(g["n"].astype(np.int64)),
+            }
+        )
+
+    parts = counts.map_batches(block_counts, batch_format="pyarrow").to_pandas()
+    distinct = parts.groupby("col", as_index=False)["n"].sum()
+    distinct = distinct.rename(columns={"n": "distinct_cnt"})
     n = ds.count()
     out = distinct.copy()
     out["distinct_cnt"] = out["distinct_cnt"].astype("int64")
