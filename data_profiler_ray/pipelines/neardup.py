@@ -166,9 +166,14 @@ class MinHasher:
             starts_ne = offsets[:-1][nonempty]
             sentinel = np.uint64(np.iinfo(np.uint64).max)
             if nonempty.any():
+                # ONE reused scratch buffer: fresh allocations fault pages
+                # at ~8 MB/s on this sandbox, so 64 per-perm temporaries
+                # would dominate the first batch per worker
+                m = np.empty_like(acc)
                 with np.errstate(over="ignore"):
                     for j in range(self.num_perm):
-                        m = self.a[j] * acc + self.b[j]
+                        np.multiply(self.a[j], acc, out=m)
+                        m += self.b[j]
                         m[invalid] = sentinel
                         sigs[nonempty, j] = np.minimum.reduceat(m, starts_ne)
 
