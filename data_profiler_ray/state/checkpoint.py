@@ -100,13 +100,27 @@ def run_checkpointed(
     pipeline_fn,
     *,
     files_per_partition: int = 4,
+    progress_callback=None,
 ) -> dict:
     """Run ``pipeline_fn(Dataset) -> Dataset`` over input partitions,
     skipping completed ones. Returns the merged job summary.
 
     ``pipeline_fn`` must be deterministic/idempotent (retries re-execute
     it on the same inputs — SURVEY.md §4.1 retry requirement).
+
+    ``progress_callback(event: str, partition: int, total: int)`` mirrors
+    the reference's state/progress hooks (``pipeline.py:78-99,120-139``);
+    events: ``"started" | "completed" | "skipped"``. Callback errors are
+    swallowed — observers must never fail the job.
     """
+
+    def _notify(event: str, pid: int, total: int) -> None:
+        if progress_callback is None:
+            return
+        try:
+            progress_callback(event, pid, total)
+        except Exception:
+            pass
     os.makedirs(output_dir, exist_ok=True)
     partitions = plan_partitions(input_files, files_per_partition)
     done = completed_partitions(output_dir)
@@ -121,7 +135,9 @@ def run_checkpointed(
         part_dir = os.path.join(output_dir, f"partition={pid}")
         if pid in done and _lineage_matches(part_dir, files):
             skipped.append(pid)
+            _notify("skipped", pid, len(partitions))
             continue
+        _notify("started", pid, len(partitions))
         tmp_dir = os.path.join(output_dir, f"_tmp-{pid}")
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)  # stale partial write from a killed run
@@ -142,6 +158,7 @@ def run_checkpointed(
             shutil.rmtree(part_dir)
         os.rename(tmp_dir, part_dir)
         ran.append(pid)
+        _notify("completed", pid, len(partitions))
 
     return job_summary(output_dir) | {"ran": ran, "skipped": skipped}
 
@@ -161,10 +178,16 @@ def job_summary(output_dir: str) -> dict:
         scrubbed += lin["scrubbed"]
         for k, v in lin["drop_reason_histogram"].items():
             hist[k] = hist.get(k, 0) + v
+    from ..errors import FRIENDLY_MESSAGES
+
     return {
         "partitions": parts,
         "rows_in": total_in,
         "rows_out": total_out,
         "scrubbed": scrubbed,
         "drop_reason_histogram": hist,
+        # actionable guidance per observed code (M13 mapper in lineage)
+        "reason_messages": {
+            k: FRIENDLY_MESSAGES[k] for k in hist if k in FRIENDLY_MESSAGES
+        },
     }

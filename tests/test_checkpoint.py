@@ -109,3 +109,33 @@ def test_shrunken_plan_drops_stale_partitions(input_files, tmp_path, ray_session
     assert summary["partitions"] == 2
     assert summary["rows_in"] == 200
     assert not os.path.exists(os.path.join(out, "partition=3"))
+
+
+def test_progress_callback_events(input_files, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    events = []
+    run_checkpointed(
+        input_files, out, _pipeline, files_per_partition=2,
+        progress_callback=lambda e, p, t: events.append((e, p, t)),
+    )
+    assert all(t == 4 for _, _, t in events)
+    assert [(e, p) for e, p, _ in events] == [
+        ("started", 0), ("completed", 0), ("started", 1), ("completed", 1),
+        ("started", 2), ("completed", 2), ("started", 3), ("completed", 3),
+    ]
+    events.clear()
+
+    def bad_callback(e, p, t):
+        events.append((e, p))
+        raise RuntimeError("observer bug")
+
+    again = run_checkpointed(
+        input_files, out, _pipeline, files_per_partition=2,
+        progress_callback=bad_callback,
+    )
+    # callback errors never fail the job; all partitions skipped
+    assert again["skipped"] == [0, 1, 2, 3]
+    assert [(e, p) for e, p in events] == [("skipped", i) for i in range(4)]
+    assert "reason_messages" in again
+    for code, msg in again["reason_messages"].items():
+        assert len(msg) > 20
