@@ -372,9 +372,13 @@ def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     contrib = 2 * bits - 1
     counts = np.bincount(parent, minlength=n)
     starts = np.r_[0, np.cumsum(counts)[:-1]]
-    starts_c = np.minimum(starts, max(len(contrib) - 1, 0))
-    v = np.add.reduceat(contrib, starts_c, axis=0)
-    v[counts == 0] = -1  # reduceat quirk on empty segments -> all bits 0
+    # reduce ONLY over rows that own tokens: clamping a trailing
+    # zero-token row's start would truncate the previous row's segment
+    # (same failure mode hypothesis found in the MinHash batch path)
+    nonempty = counts > 0
+    v = np.full((n, 64), -1, dtype=np.int64)
+    if nonempty.any():
+        v[nonempty] = np.add.reduceat(contrib, starts[nonempty], axis=0)
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     return ((v > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 

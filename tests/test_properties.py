@@ -96,3 +96,13 @@ def test_round_away_matches_decimal_half_up(x, n):
     # float representation noise can flip a .5 boundary seen by Decimal
     # vs binary float; accept exact match or one ulp of the quantum
     assert abs(got - want) <= 10.0 ** (-n) + 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=12))
+def test_simhash_batch_equals_per_row(texts):
+    from data_profiler_ray.pipelines.neardup import simhash64, simhash_batch
+
+    batch = simhash_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64(t), t
