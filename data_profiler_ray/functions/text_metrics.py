@@ -57,14 +57,13 @@ def _count_byte_class(content: pa.Array, table: np.ndarray) -> np.ndarray:
     buf = binary.buffers()[2]
     if buf is None or offsets[-1] == offsets[0]:
         return np.zeros(n, dtype=np.int64)
-    data = np.frombuffer(buf, dtype=np.uint8)
+    # operate on the value region only (bounds the last segment exactly
+    # and handles sliced/offset buffers)
+    data = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
     # int32 scratch (not int64): fresh pages fault at ~8 MB/s here, so
     # scratch bytes are the dominant cost. Row byte counts < 2^31 always.
     hits = table[data].astype(np.int32)
-    starts = np.minimum(offsets[:-1], len(hits) - 1)
-    sums = np.add.reduceat(hits, starts).astype(np.int64)
-    sums[np.diff(offsets) == 0] = 0
-    return sums
+    return segment_reduce(np.add, hits, offsets[:-1] - offsets[0]).astype(np.int64)
 
 
 def sha256_hex(arr: pa.Array) -> pa.Array:
@@ -238,22 +237,33 @@ def utf8_validity(
     return out
 
 
-def _reduceat_safe(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """np.<op>.reduceat that tolerates empty segments (returns 0 for them).
+def segment_reduce(op, values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-segment ``op.reduceat`` that is CORRECT for empty segments
+    ANYWHERE, including trailing ones (empty segments yield 0).
 
-    reduceat with starts[i] == starts[i+1] returns values[starts[i]] — wrong
-    for empty segments; mask them out explicitly.
+    The naive clamp (``min(starts, len-1)``) silently TRUNCATES the
+    preceding segment whenever a trailing empty segment's start is
+    clamped into it — reducing only over non-empty segments keeps every
+    boundary exact (segments between two non-empty starts contain only
+    zero-length segments, so nothing leaks).
     """
-    if len(starts) == 0:
+    n = len(starts)
+    if n == 0:
         return np.zeros(0, dtype=values.dtype)
-    seg_len = np.diff(np.append(starts, len(values)))
-    # Clamp starts for empty trailing segments to avoid out-of-bounds.
-    clamped = np.minimum(starts, max(len(values) - 1, 0))
-    if len(values) == 0:
-        return np.zeros(len(starts), dtype=np.int64)
-    out = op.reduceat(values, clamped)
-    out[seg_len == 0] = 0
+    # starts may exceed len(values) when the segment space is shorter
+    # than the offset space (e.g. pair/n-gram positions): such segments
+    # are empty by definition
+    capped = np.minimum(starts, len(values))
+    seg_len = np.diff(np.append(capped, len(values)))
+    out = np.zeros(n, dtype=values.dtype)
+    ne = seg_len > 0
+    if len(values) and ne.any():
+        out[ne] = op.reduceat(values, capped[ne])
     return out
+
+
+# Backwards-compatible alias (previous name).
+_reduceat_safe = segment_reduce
 
 
 def _segment_hashes(flat: pa.Array) -> np.ndarray:
@@ -288,9 +298,7 @@ def _segment_hashes(flat: pa.Array) -> np.ndarray:
     pos = np.arange(region.size, dtype=np.int64) - np.repeat(rel_starts, lens)
     with np.errstate(over="ignore"):
         prod = region.astype(np.uint64) * pows[pos]
-        starts = np.minimum(rel_starts, region.size - 1)
-        h = np.add.reduceat(prod, starts)
-        h[lens == 0] = 0
+        h = segment_reduce(np.add, prod, rel_starts)
         # mix in the length so "a" and "a\x00..." prefixes differ
         h = h * np.uint64(0x9E3779B97F4A7C15) + lens.astype(np.uint64)
     return h

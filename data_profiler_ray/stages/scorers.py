@@ -155,9 +155,19 @@ class LangIDScorer:
             bad = np.r_[ends - 2, ends - 1]
             bad = bad[(bad >= 0) & (bad < contrib.shape[0])]
             contrib[bad] = 0.0
-            starts = np.minimum(offsets[:-1], max(contrib.shape[0] - 1, 0))
-            totals = np.add.reduceat(contrib, starts, axis=0).astype(np.float64)
-            totals[n_tri == 0] = 0.0  # reduceat quirk on empty segments
+            # reduce ONLY over rows owning trigram positions: clamping a
+            # trailing short row's start would truncate the previous
+            # row's segment (segment_reduce pattern, text_metrics.py);
+            # starts beyond the trigram space are empty by definition
+            capped = np.minimum(offsets[:-1], contrib.shape[0])
+            seg_len = np.diff(np.append(capped, contrib.shape[0]))
+            ne = seg_len > 0
+            totals = np.zeros((n, k), dtype=np.float64)
+            if ne.any():
+                totals[ne] = np.add.reduceat(
+                    contrib, capped[ne], axis=0
+                ).astype(np.float64)
+            totals[n_tri == 0] = 0.0  # rows whose positions are all boundary
         best = totals.argmax(axis=1)
         # posterior via softmax of total log-likelihood (uniform prior)
         shifted = totals - totals.max(axis=1, keepdims=True)
@@ -279,15 +289,13 @@ class PerplexityScorer:
             boundary = offsets[1:-1] - 1  # last byte index of rows 0..n-2
             boundary = boundary[(boundary >= 0) & (boundary < pair_logp.size)]
             pair_logp[boundary] = 0.0
-            starts = np.minimum(offsets[:-1], max(pair_logp.size - 1, 0))
-            sums = (
-                np.add.reduceat(pair_logp, starts).astype(np.float64)
-                if pair_logp.size
-                else np.zeros(n)
-            )
+            from ..functions.text_metrics import segment_reduce
+
+            sums = segment_reduce(
+                np.add, pair_logp, offsets[:-1].astype(np.int64)
+            ).astype(np.float64)
             n_pairs = np.maximum(lens - 1, 0)
-            # reduceat quirk: empty segments return the element at start
-            sums[n_pairs == 0] = 0.0
+            sums[n_pairs == 0] = 0.0  # rows whose only pair is a boundary
             ppl = np.where(n_pairs > 0, np.exp(-sums / np.maximum(n_pairs, 1)), 1.0)
         else:
             ppl = np.ones(n, dtype=np.float64)

@@ -106,3 +106,71 @@ def test_simhash_batch_equals_per_row(texts):
     batch = simhash_batch(pa.array(texts, pa.string()))
     for i, t in enumerate(texts):
         assert int(batch[i]) == simhash64(t), t
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(max_codepoint=0x2FF), max_size=50),
+                min_size=1, max_size=10))
+def test_scorers_are_batch_invariant(texts):
+    # per-row results must not depend on batch composition — trailing
+    # empty/short rows used to truncate the preceding row's reduceat
+    # segment in perplexity/langid/char-class kernels
+    from data_profiler_ray.stages.scorers import LangIDScorer, PerplexityScorer
+
+    # tolerance: the batch path's segments include zeroed boundary slots,
+    # so float32 pairwise summation may differ by a few ulps from the
+    # solo path — relative 1e-5 bounds that noise while still catching
+    # the segment-truncation class of bug (which is off by whole terms)
+    ppl = PerplexityScorer()
+    lid = LangIDScorer()
+    batch = pa.table({"content": pa.array(texts, pa.string())})
+    p_batch = ppl(batch)["perplexity"].to_pylist()
+    l_batch = lid(batch)
+    for i, t in enumerate(texts):
+        solo = pa.table({"content": pa.array([t], pa.string())})
+        p_solo = ppl(solo)["perplexity"][0].as_py()
+        assert abs(p_solo - p_batch[i]) <= 1e-5 * max(1.0, abs(p_solo)), t
+        ls = lid(solo)
+        assert ls["lang_pred"][0].as_py() == l_batch["lang_pred"][i].as_py(), t
+        assert abs(ls["lang_conf"][0].as_py() - l_batch["lang_conf"][i].as_py()) < 1e-4, t
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=30), min_size=1, max_size=10))
+def test_byte_class_counts_batch_invariant(rows):
+    from data_profiler_ray.functions.text_metrics import (
+        _ALNUM_BYTES,
+        _count_byte_class,
+    )
+
+    batch = _count_byte_class(pa.array(rows, pa.binary()), _ALNUM_BYTES)
+    for i, b in enumerate(rows):
+        want = sum(1 for byte in b if _ALNUM_BYTES[byte])
+        assert int(batch[i]) == want, (i, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-1e12, max_value=1e12),
+             min_size=1, max_size=60),
+    st.integers(0, 2**31),
+)
+def test_segment_reduce_matches_python(values, seed):
+    # random segmentations, including empty segments anywhere
+    from data_profiler_ray.functions.text_metrics import segment_reduce
+
+    rng = np.random.default_rng(seed)
+    v = np.array(values, dtype=np.float64)
+    n_seg = int(rng.integers(1, 8))
+    cuts = np.sort(rng.integers(0, len(v) + 1, size=n_seg - 1))
+    starts = np.r_[0, cuts].astype(np.int64)
+    got = segment_reduce(np.add, v, starts)
+    bounds = np.r_[starts, len(v)]
+    for i in range(n_seg):
+        seg = v[bounds[i]:bounds[i + 1]]
+        want = float(seg.sum())
+        # summation-order noise scales with the magnitude of the terms
+        # (cancellation), not the result
+        tol = 1e-9 * max(1.0, float(np.abs(seg).sum()) if len(seg) else 0.0)
+        assert abs(got[i] - want) <= tol, i
