@@ -127,3 +127,41 @@ def test_flagship_repo_dup_line_rate_column(ray_session):
     got = df.groupby("repo").repo_dup_line_rate.first().to_dict()
     for repo, rate in got.items():
         assert rate == pytest.approx(direct[repo], abs=1e-9)
+
+
+def test_exact_path_fuzz_vs_pandas(ray_session):
+    # 15 random corpora (varying group counts, empty docs, trailing
+    # newlines, duplicate lines) — exact path must equal a plain pandas
+    # computation every time
+    rng = np.random.default_rng(99)
+    for trial in range(15):
+        n_docs = int(rng.integers(1, 40))
+        groups = [f"g{int(rng.integers(0, 4))}" for _ in range(n_docs)]
+        vocab = [f"line{i}" for i in range(int(rng.integers(1, 30)))]
+        texts = []
+        for _ in range(n_docs):
+            lines = [vocab[int(rng.integers(0, len(vocab)))]
+                     for _ in range(int(rng.integers(0, 8)))]
+            t = "\n".join(lines)
+            if rng.random() < 0.3:
+                t += "\n"
+            texts.append(t if rng.random() > 0.1 else None)
+        t = pa.table(
+            {
+                "g": pa.array(groups, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = dup_line_stats(
+            ray.data.from_arrow(t).repartition(3), "g", "text", method="exact"
+        )
+        df = pd.DataFrame({"g": groups,
+                           "lines": [(x or "").split("\n") for x in texts]})
+        flat = df.explode("lines")
+        want = flat.groupby("g")["lines"].agg(
+            total_lines="size", distinct_lines="nunique"
+        ).reset_index()
+        for _, row in want.iterrows():
+            mine = got[got.g == row.g].iloc[0]
+            assert mine.total_lines == row.total_lines, (trial, row.g)
+            assert mine.distinct_lines == row.distinct_lines, (trial, row.g)
