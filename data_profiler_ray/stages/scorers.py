@@ -69,12 +69,19 @@ def _build_langid_model(
     key = ("langid", seed, per_lang)
     if key in _LANGID_MEM:
         return _LANGID_MEM[key]
-    cache = f"/tmp/dpr_langid_nb_s{seed}_p{per_lang}.npy"
+    # cache name carries a format version + the language count so a code
+    # change (new LANGS, different _clean_content) can never silently
+    # load a stale matrix; shape is re-validated on load regardless
+    cache = (
+        f"/tmp/dpr_langid_nb_v2_s{seed}_p{per_lang}"
+        f"_l{len(LANGS)}_b{_TRI_BUCKETS}.npy"
+    )
     if os.path.exists(cache):
         try:
             logp = np.load(cache)
-            _LANGID_MEM[key] = logp
-            return logp
+            if logp.shape == (_TRI_BUCKETS, len(LANGS)):
+                _LANGID_MEM[key] = logp
+                return logp
         except Exception:
             pass
     rng = np.random.default_rng(seed)

@@ -170,7 +170,15 @@ def job_summary(output_dir: str) -> dict:
     hist: dict[str, int] = {}
     parts = 0
     for pid in sorted(completed_partitions(output_dir)):
-        with open(os.path.join(output_dir, f"partition={pid}", "_lineage.json")) as f:
+        part_dir = os.path.join(output_dir, f"partition={pid}")
+        path = os.path.join(part_dir, "_lineage.json")
+        if not os.path.exists(path):
+            # pre-rename checkpoint dirs used the legacy name; a partition
+            # with neither file is skipped rather than crashing the roll-up
+            path = os.path.join(part_dir, "lineage.json")
+            if not os.path.exists(path):
+                continue
+        with open(path) as f:
             lin = json.load(f)
         parts += 1
         total_in += lin["rows_in"]

@@ -170,6 +170,74 @@ def test_ivf_index_and_recall(emb, tmp_path):
     assert 10 in set(part.vec_id)  # query's own cell always probed
 
 
+def test_salted_pair_indices_bounded_and_connected():
+    # over-cap buckets: work O(n*cap), full connectivity, no silent loss
+    from data_profiler_ray.pipelines.neardup import (
+        _salted_pair_indices,
+        pairs_to_clusters,
+    )
+
+    # clique when n <= cap
+    i, j = _salted_pair_indices(10, 64, "t")
+    assert len(i) == 45 and (i < j).all()
+    # salted when n > cap
+    n, cap = 500, 64
+    i, j = _salted_pair_indices(n, cap, "t")
+    assert (i < j).all()
+    assert len(i) <= n * cap  # bounded, far below C(500,2)=124750
+    cl = pairs_to_clusters(pd.DataFrame({"id_a": i, "id_b": j}))
+    assert len({cl[k] for k in range(n)}) == 1  # one connected component
+
+
+def test_minhash_salted_bucket_recovers_planted_cluster(ray_session):
+    # round-2 verdict item #2: a 500-member boilerplate cluster with
+    # bucket_cap=64 must recover >=99% of within-cluster pairs (via
+    # union-find expansion of the connected salted pairs)
+    from data_profiler_ray.pipelines.neardup import pairs_to_clusters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, size=60))
+    n = 500
+    texts = [base + f" v{i}" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, bucket_cap=64)
+    cl = pairs_to_clusters(pairs)
+    from collections import Counter
+
+    sizes = Counter(cl.get(i, ("solo", i)) for i in range(n))
+    recovered = sum(s * (s - 1) // 2 for s in sizes.values())
+    assert recovered >= 0.99 * (n * (n - 1) // 2)
+
+
+def test_embedding_lsh_matches_bruteforce_cosine(emb):
+    # phase-2 semi-join verification must produce the same cosine the
+    # bruteforce path computes (vectors never ride the shuffle)
+    ds, _ = emb
+    bf = embedding_near_dup_bruteforce(ds, tau=0.99)
+    lsh = embedding_near_dup_lsh(ds, tau=0.99, n_tables=12, n_bits=4)
+    bf_map = {(a, b): c for a, b, c in zip(bf.id_a, bf.id_b, bf.cosine)}
+    for a, b, c in zip(lsh.id_a, lsh.id_b, lsh.cosine):
+        assert (a, b) in bf_map
+        assert abs(c - bf_map[(a, b)]) < 1e-9
+
+
+def test_exact_jaccard_preserves_columns(docs_ds):
+    # distributed verify keeps input columns and row order
+    cand = pd.DataFrame(
+        {"id_a": [0, 1], "id_b": [30, 2], "est_jaccard": [0.9, 0.1]}
+    )
+    out = exact_jaccard_pairs(docs_ds, cand)
+    assert list(out.columns) == ["id_a", "id_b", "est_jaccard", "jaccard"]
+    assert list(out.id_a) == [0, 1] and list(out.id_b) == [30, 2]
+
+
 def test_range_join_overlaps_and_bounds(ray_session):
     from data_profiler_ray.pipelines.temporal import range_join
 
