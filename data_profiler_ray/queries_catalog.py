@@ -971,8 +971,10 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
 def q_type_inference(sf_dir: str) -> pd.DataFrame:
     """Full column profile of the documents table (type inference, exact
     distinct, confidence) — the profiler pipeline end-to-end through the
-    driver gate. Rows-only: the classifier decision tree is not
-    SQL-expressible."""
+    driver gate. Oracle-gated: the full-pass regex vote counts and the
+    ``_detect_type`` decision tree (reference
+    ``api/services/types.py:247-390``) are expressed in DuckDB SQL in
+    ``_SQL_TYPE_INFERENCE``."""
     from .pipelines.profiler import profile_table
 
     ds = _read(sf_dir, "documents")
@@ -990,6 +992,133 @@ def q_type_inference(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+# DuckDB mirror of the full type-inference pass over the documents table:
+# per-value regex votes with the reference's continue-chain priority
+# (date-before-numeric, money disambiguation, reference types.py:271-301),
+# calendar-validated date formats (types.py:86-92), the 0.66/0.20 decision
+# tree (types.py:247-390), code-type cardinality rule (types.py:504-533)
+# and the per-type confidence re-scan (types.py:624-667). The whitespace
+# char-set passed to trim() mirrors Arrow utf8_trim_whitespace (DuckDB's
+# bare trim() strips spaces only). Each value matches at most ONE date
+# format regex (the five shapes are disjoint), so the reference's
+# first-valid-format fall-through loop reduces to one y/m/d extraction.
+_TI_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+_SQL_TYPE_INFERENCE = r"""
+WITH raw AS (
+  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS rv FROM documents
+  UNION ALL SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+  UNION ALL SELECT 'text', CAST(text AS VARCHAR) FROM documents
+), vals AS (
+  SELECT col, trim(coalesce(rv, ''), __WS__) AS v FROM raw
+), flags0 AS (
+  SELECT col, v,
+    (v = '') AS is_null,
+    regexp_matches(v, '^[0-9]+(\.[0-9]+)?$') AS is_numeric,
+    regexp_matches(v, '^[0-9]+\.[0-9]{2}$') AS is_money,
+    regexp_matches(v, '^[a-zA-Z]+$') AS is_alpha,
+    regexp_matches(v, '[$,()]') AS has_symbols,
+    trim(regexp_replace(v, '[$,()]', '', 'g'), __WS__) AS cleaned,
+    CASE WHEN regexp_matches(v,'^\d{8}$')
+           OR regexp_matches(v,'^\d{4}-\d{2}-\d{2}$')
+           OR regexp_matches(v,'^\d{4}/\d{2}/\d{2}$') THEN CAST(substr(v,1,4) AS INT)
+         WHEN regexp_matches(v,'^\d{2}/\d{2}/\d{4}$')
+           OR regexp_matches(v,'^\d{2}-\d{2}-\d{4}$') THEN CAST(substr(v,7,4) AS INT)
+    END AS dy,
+    CASE WHEN regexp_matches(v,'^\d{8}$') THEN CAST(substr(v,5,2) AS INT)
+         WHEN regexp_matches(v,'^\d{4}-\d{2}-\d{2}$')
+           OR regexp_matches(v,'^\d{4}/\d{2}/\d{2}$') THEN CAST(substr(v,6,2) AS INT)
+         WHEN regexp_matches(v,'^\d{2}/\d{2}/\d{4}$')
+           OR regexp_matches(v,'^\d{2}-\d{2}-\d{4}$') THEN CAST(substr(v,1,2) AS INT)
+    END AS dm,
+    CASE WHEN regexp_matches(v,'^\d{8}$') THEN CAST(substr(v,7,2) AS INT)
+         WHEN regexp_matches(v,'^\d{4}-\d{2}-\d{2}$')
+           OR regexp_matches(v,'^\d{4}/\d{2}/\d{2}$') THEN CAST(substr(v,9,2) AS INT)
+         WHEN regexp_matches(v,'^\d{2}/\d{2}/\d{4}$')
+           OR regexp_matches(v,'^\d{2}-\d{2}-\d{4}$') THEN CAST(substr(v,4,2) AS INT)
+    END AS dd
+  FROM vals
+), flags AS (
+  SELECT *,
+    (dy IS NOT NULL AND dy >= 1 AND dm BETWEEN 1 AND 12 AND dd >= 1
+     AND dd <= CASE WHEN dm = 2 THEN 28 + CASE WHEN (dy % 4 = 0 AND dy % 100 <> 0) OR dy % 400 = 0 THEN 1 ELSE 0 END
+                    WHEN dm IN (4,6,9,11) THEN 30 ELSE 31 END) AS is_date,
+    (cleaned <> '' AND regexp_matches(cleaned, '^[0-9]+(\.[0-9]+)?$')) AS numeric_viol,
+    (has_symbols AND cleaned <> ''
+     AND (regexp_matches(cleaned, '^[0-9]+\.[0-9]{2}$')
+          OR (regexp_matches(cleaned, '^[0-9]+(\.[0-9]+)?$')
+              AND regexp_matches(cleaned, '\.')))) AS money_viol
+  FROM flags0
+), agg AS (
+  SELECT col,
+    count(*) AS total_count,
+    count(*) FILTER (is_null) AS null_count,
+    count(DISTINCT nullif(v, '')) AS distinct_count,
+    count(*) FILTER (NOT is_null AND is_date) AS v_date,
+    count(*) FILTER (NOT is_null AND NOT is_date AND (is_money OR money_viol)) AS v_money,
+    count(*) FILTER (NOT is_null AND NOT is_date AND NOT is_money AND NOT money_viol
+                     AND (is_numeric OR numeric_viol)) AS v_numeric,
+    count(*) FILTER (NOT is_null AND NOT is_date AND NOT is_money AND NOT money_viol
+                     AND NOT is_numeric AND NOT numeric_viol AND is_alpha) AS v_alpha,
+    count(*) FILTER (NOT is_null AND numeric_viol) AS any_numeric_viol,
+    count(*) FILTER (NOT is_null AND is_money) AS any_money,
+    count(*) FILTER (NOT is_null AND money_viol) AS any_money_viol,
+    count(*) FILTER (NOT is_null AND is_date) AS any_date,
+    count(*) FILTER (NOT is_null AND is_alpha) AS any_alpha,
+    count(*) FILTER (NOT is_null AND NOT is_numeric AND NOT is_money AND NOT is_date) AS any_other,
+    coalesce(bool_or(NOT is_null AND has_symbols), false) AS has_explicit_violation,
+    coalesce(bool_or(NOT is_null AND is_numeric
+             AND regexp_matches(v, '^[0-9]+\.([0-9]|[0-9]{3,})$')), false) AS has_wrong_decimals
+  FROM flags GROUP BY col
+), dec AS (
+  SELECT *,
+    total_count - null_count AS nn,
+    greatest(v_numeric, v_money, v_date, v_alpha) AS maxv,
+    (total_count >= 6 AND (CAST(distinct_count AS DOUBLE) / total_count <= 0.50
+                           OR (distinct_count <= 50 AND total_count >= 50))) AS is_code
+  FROM agg
+), typed AS (
+  SELECT *,
+    CASE
+      WHEN nn = 0 THEN 'unknown'
+      WHEN CAST(maxv AS DOUBLE)/nn < 0.66 AND
+           ((CASE WHEN CAST(v_numeric AS DOUBLE)/nn >= 0.20 THEN 1 ELSE 0 END)
+           +(CASE WHEN CAST(v_money  AS DOUBLE)/nn >= 0.20 THEN 1 ELSE 0 END)
+           +(CASE WHEN CAST(v_date   AS DOUBLE)/nn >= 0.20 THEN 1 ELSE 0 END)
+           +(CASE WHEN CAST(v_alpha  AS DOUBLE)/nn >= 0.20 THEN 1 ELSE 0 END)) > 1 THEN 'mixed'
+      WHEN CAST(v_date AS DOUBLE)/nn >= 0.66 THEN 'date'
+      WHEN v_money > 0 OR v_numeric > 0 THEN
+        CASE WHEN CAST(v_money + v_numeric AS DOUBLE)/nn >= 0.66 THEN
+               CASE WHEN CAST(v_money AS DOUBLE)/nn >= 0.66 THEN 'money'
+                    WHEN v_money > 0 THEN
+                      CASE WHEN has_explicit_violation OR has_wrong_decimals THEN
+                             CASE WHEN v_numeric > 0 THEN 'mixed' ELSE 'money' END
+                           ELSE 'numeric' END
+                    ELSE 'numeric' END
+             ELSE 'varchar' END
+      WHEN CAST(v_alpha AS DOUBLE)/nn >= 0.66 THEN CASE WHEN is_code THEN 'code' ELSE 'alpha' END
+      WHEN is_code THEN 'code'
+      ELSE 'varchar'
+    END AS inferred_type
+  FROM dec
+)
+SELECT col AS "column", inferred_type,
+  total_count, null_count, distinct_count,
+  round(CASE inferred_type
+    WHEN 'numeric' THEN CAST(any_numeric_viol AS DOUBLE)/nn
+    WHEN 'money'   THEN CAST(any_money + any_money_viol AS DOUBLE)/nn
+    WHEN 'date'    THEN CAST(any_date AS DOUBLE)/nn
+    WHEN 'alpha'   THEN CAST(any_alpha AS DOUBLE)/nn
+    WHEN 'varchar' THEN CAST(any_other AS DOUBLE)/nn
+    WHEN 'code'    THEN CAST(any_other AS DOUBLE)/nn
+    WHEN 'mixed'   THEN 0.6
+    ELSE 0.0 END, 4) AS confidence
+FROM typed ORDER BY col
+""".replace("__WS__", _TI_WS)
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
@@ -1094,5 +1223,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _SQL_DOC_QUALITY,
         "repo_stats": _SQL_REPO_STATS,
         "dup_line_stats": _SQL_DUP_LINE_STATS,
+        "type_inference_summary": _SQL_TYPE_INFERENCE,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -175,3 +175,54 @@ def test_differential_vs_reference(reference_inferrer):
         assert mine["error_count"] == ref.error_count, (
             f"{vals}: mine err={mine['error_count']} ref={ref.error_count}"
         )
+
+
+def test_sql_oracle_matches_pipeline_on_adversarial_table(ray_session, tmp_path):
+    """The DuckDB _SQL_TYPE_INFERENCE oracle must agree with the Ray
+    q_type_inference pipeline on a documents-shaped table that exercises
+    the money / date / mixed / null / wrong-decimals branches the real
+    synthetic corpus never hits."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_profiler_ray import queries_catalog
+
+    n = 60
+    money = [f"{i}.99" for i in range(n - 6)] + ["$1,234.50"] * 3 + ["(12.00)"] * 3
+    dates = (
+        ["2023-01-15"] * 20 + ["20221109"] * 20 + ["02/30/2024"] * 10  # invalid date
+        + ["13/01/2024"] * 5 + [" 1999/12/31 "] * 5
+    )
+    mixed = ["123"] * 20 + ["abc"] * 20 + ["2020-05-05"] * 20
+    nullish = ["  "] * 30 + [None] * 10 + ["x" + str(i) for i in range(20)]
+    wrongdec = ["1.5"] * 40 + ["$2.50"] * 20
+    t = pa.table(
+        {
+            "doc_id": pa.array(money, pa.string()),
+            "text": pa.array(dates, pa.string()),
+            "lang": pa.array(mixed, pa.string()),
+            "source": pa.array(nullish, pa.string()),
+            "n_chars": pa.array(wrongdec, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    mine = queries_catalog.q_type_inference(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    orc = (
+        con.execute(queries_catalog.oracle_sql()["type_inference_summary"])
+        .fetchdf()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    mine = mine.sort_values("column").reset_index(drop=True)
+    assert list(mine.columns) == list(orc.columns)
+    for c in mine.columns:
+        if mine[c].dtype.kind == "f":
+            assert (mine[c] - orc[c]).abs().max() < 1e-9, c
+        else:
+            assert mine[c].astype(str).tolist() == orc[c].astype(str).tolist(), c
