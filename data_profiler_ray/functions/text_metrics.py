@@ -449,8 +449,60 @@ def compute_text_metrics(batch: pa.Table, content_col: str = "content") -> pa.Ta
     for name, arr in le.items():
         out = out.append_column(name, arr)
     # Arrow string columns are valid UTF-8 by construction; binary inputs go
-    # through utf8_validity() upstream. Keep the column for rule uniformity.
-    out = out.append_column(
-        "utf8_valid", pa.array(np.ones(len(out), dtype=bool))
-    )
+    # through decode_binary_content() upstream, which already appended the
+    # real verdict — don't overwrite it. Keep the column for rule uniformity.
+    if "utf8_valid" not in out.column_names:
+        out = out.append_column(
+            "utf8_valid", pa.array(np.ones(len(out), dtype=bool))
+        )
+    return out
+
+
+def decode_binary_content(
+    batch: pa.Table, content_col: str = "content"
+) -> pa.Table:
+    """Binary-ingestion front-end: validate + decode a ``binary`` /
+    ``large_binary`` content column to ``large_string``.
+
+    Runs :func:`utf8_validity` (full taxonomy) and appends
+    ``utf8_valid:bool``, ``utf8_error_offset:int64`` (exact byte offset of
+    the first invalid sequence, -1 when valid), ``utf8_error_kind:string``
+    and ``has_bom:bool`` — the reference ``UTF8Validator`` contract
+    (``api/services/ingest.py:81-279``). ``content_col`` is REPLACED by
+    its decoded string form; invalid rows are decoded with U+FFFD
+    replacement so downstream metric kernels stay total (those rows carry
+    ``utf8_valid=False`` and are dropped by :class:`KeepDropRules` with
+    ``E_UTF8_INVALID``).
+
+    Fast path: a batch with no invalid rows is ONE zero-copy-validated
+    Arrow cast. The per-row replacement decode runs only for batches that
+    actually contain invalid rows — rare by construction at scale.
+    """
+    binary = batch[content_col]
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    binary = binary.cast(pa.large_binary())
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    binary = pc.fill_null(binary, b"")
+    valid, err_off, has_bom, kind = utf8_validity(binary, with_detail=True)
+    valid_np = valid.to_numpy(zero_copy_only=False)
+    if valid_np.all():
+        content = binary.cast(pa.large_string())
+    else:
+        # clear invalid rows so the bulk cast stays a validated Arrow
+        # kernel, then patch only the (rare) invalid rows with a
+        # replacement-char decode
+        cleared = pc.if_else(valid, binary, pa.scalar(b"", pa.large_binary()))
+        strings = cleared.cast(pa.large_string()).to_pylist()
+        for i in np.flatnonzero(~valid_np):
+            strings[i] = bytes(binary[i].as_py()).decode("utf-8", "replace")
+        content = pa.array(strings, pa.large_string())
+
+    idx = batch.column_names.index(content_col)
+    out = batch.set_column(idx, content_col, content)
+    out = out.append_column("utf8_valid", valid)
+    out = out.append_column("utf8_error_offset", err_off)
+    out = out.append_column("utf8_error_kind", kind)
+    out = out.append_column("has_bom", has_bom)
     return out

@@ -40,7 +40,11 @@ import ray
 from ..util import from_pandas_clean
 
 from ..config import DEFAULT_PII, DEFAULT_THRESHOLDS, FilterThresholds, PIIConfig
-from ..functions.text_metrics import compute_text_metrics, sha256_hex
+from ..functions.text_metrics import (
+    compute_text_metrics,
+    decode_binary_content,
+    sha256_hex,
+)
 from ..stages.rules import KeepDropRules
 from ..stages.scorers import LangIDScorer, PerplexityScorer
 from ..stages.scrub import PIIScrub
@@ -438,6 +442,13 @@ class QualityFilterStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Binary-ingestion variant (reference ingest.py:81-279): a
+        # binary/large_binary content column is validated + decoded here,
+        # so E_UTF8_INVALID can actually fire (with the exact byte offset
+        # and error kind); string content stays on the zero-copy path.
+        ctype = batch.schema.field("content").type
+        if pa.types.is_binary(ctype) or pa.types.is_large_binary(ctype):
+            batch = decode_binary_content(batch)
         out = compute_text_metrics(batch)
         out = self.scrub(out)
         if self.scorer is not None:

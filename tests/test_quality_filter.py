@@ -122,3 +122,67 @@ def test_dup_state_partial_cap_falls_back_to_bucket_path(ray_session):
     assert rates_bucket is not None and rates_small is not None
     for repo, rate in rates_small.items():
         assert abs(rates_bucket[repo] - rate) < 1e-9
+
+
+def test_binary_ingestion_drops_invalid_utf8(ray_session):
+    """Verdict r2 item #4: a binary content column flows through the real
+    UTF-8 validator — planted invalid files are dropped with
+    E_UTF8_INVALID plus the exact byte offset and error kind; valid files
+    behave exactly as on the string path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_profiler_ray.config import E_UTF8_INVALID
+
+    oracle = generate_code_table(300, seed=7)
+    t = strip_oracle_columns(oracle)
+    content = [c.encode("utf-8") for c in t["content"].to_pylist()]
+    # plant: lone continuation byte at 3, truncated sequence at end,
+    # surrogate half, overlong NUL
+    planted = {
+        5: (b"ok:" + b"\x80" + b"rest of file\n", 3, "invalid_start_byte"),
+        17: (b"def f():\n    return 1\n" + b"\xe2\x82", 22, "truncated_sequence"),
+        40: (b"x = 1\n\xed\xa0\x80tail\n", 6, "surrogate"),
+        61: (b"\xc0\x80padding line\n", 0, "overlong_encoding"),
+    }
+    for i, (blob, _, _) in planted.items():
+        content[i] = blob
+    bt = t.set_column(
+        t.column_names.index("content"),
+        "content",
+        pa.array(content, pa.large_binary()),
+    )
+    labeled = build_quality_filter(
+        ray.data.from_arrow(bt).repartition(2),
+        with_scorers=False,
+        scorer_concurrency=(1, 2),
+    ).to_pandas()
+    labeled = labeled.reset_index(drop=True)
+    assert len(labeled) == 300
+    by_key = labeled.set_index(["repo", "path"])
+    keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+    for i, (blob, off, kind) in planted.items():
+        row = by_key.loc[keys[i]]
+        assert not row.keep
+        assert row.reason == E_UTF8_INVALID
+        assert not row.utf8_valid
+        assert row.utf8_error_offset == off, (i, row.utf8_error_offset, off)
+        assert row.utf8_error_kind == kind
+    clean = labeled[labeled.utf8_valid]
+    assert (clean.utf8_error_offset == -1).all()
+    assert clean.utf8_error_kind.isna().all()
+    # valid binary rows produce the same verdicts as the string path —
+    # except rows sharing a dup-content group with a planted file, whose
+    # keeper choice legitimately shifts when the planted member changes
+    s_labeled = build_quality_filter(
+        ray.data.from_arrow(t).repartition(2),
+        with_scorers=False,
+        scorer_concurrency=(1, 2),
+    ).to_pandas()
+    sk = s_labeled.set_index(["repo", "path"])
+    orig = t["content"].to_pylist()
+    touched = {orig[i] for i in planted}
+    for j, k in enumerate(keys):
+        if j in planted or orig[j] in touched:
+            continue
+        assert bool(by_key.loc[k].keep) == bool(sk.loc[k].keep), k
