@@ -1,10 +1,13 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 Task-brief contract: the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is REAL and tested; the pixel/sample decode
-itself is stubbed behind clearly-marked hooks because the container has
-no image/audio libraries (PIL/cv2/torchaudio). Swapping in a real decoder
-is a one-method change.
+signature, output layout) is REAL and tested. PNG decode is REAL too —
+a pure-stdlib (zlib) implementation of the public PNG spec
+(:func:`decode_png`: chunk walk, IDAT inflate, per-scanline unfilter,
+palette expansion) feeding 8x8-thumbnail pixel features. Other media
+types (JPEG/audio/video) remain stubbed behind clearly-marked hooks
+because the container has no media libraries (PIL/cv2/torchaudio);
+swapping in a real decoder is a one-method change.
 
 Conventions:
 - payload column: ``pa.large_binary()`` (a file's raw bytes);
@@ -24,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -67,6 +71,128 @@ def parse_png_size(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+# number of samples per pixel by PNG color type (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode — public spec (RFC 2083 / ISO 15948): chunk
+    walk, concatenated-IDAT zlib inflate, per-scanline unfilter (filters
+    0-4: None/Sub/Up/Average/Paeth), palette expansion.
+
+    Returns an (h, w, channels) uint8 array. Supports bit depth 8, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Raises ``ValueError`` on anything else (interlaced /
+    16-bit / sub-byte depths) — callers treat that as decode failure.
+
+    Up/None filters are vectorized; Sub/Average/Paeth carry a within-row
+    byte dependency, so those scanlines run a Python byte loop — fine for
+    thumbnail-scale media rows, and the cost is per-actor parallel.
+    """
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = w * ch
+    if raw.size != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = lines[y]
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pcc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pcc) else (b if pb <= pcc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+# Rec. 601 luma weights — the standard grayscale projection
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def png_pixel_features(px: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real pixel features: an 8x8 block-mean grayscale thumbnail (the
+    classic tiny-thumbnail near-dup signature), L2-normalized, float32.
+    ``dim`` must be a square (default 64 -> 8x8)."""
+    side = int(np.sqrt(dim))
+    if side * side != dim:
+        raise ValueError("feature dim must be square")
+    h, w = px.shape[:2]
+    c = px.shape[2] if px.ndim == 3 else 1
+    if c >= 3:
+        gray = px[:, :, :3].astype(np.float64) @ _LUMA
+    else:
+        gray = px[:, :, 0].astype(np.float64) if px.ndim == 3 else px.astype(np.float64)
+    ys = (np.arange(side + 1) * h) // side
+    xs = (np.arange(side + 1) * w) // side
+    thumb = np.zeros((side, side), dtype=np.float64)
+    for i in range(side):
+        for j in range(side):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            thumb[i, j] = block.mean()
+    vec = (thumb / 255.0).reshape(-1).astype(np.float32)
+    norm = float(np.linalg.norm(vec))
+    return vec / norm if norm else vec
+
+
 class MediaDecodeStage:
     """Actor-pool stage: sniff type, parse header metadata, extract a
     feature vector per media row.
@@ -74,10 +200,11 @@ class MediaDecodeStage:
     ``map_batches(MediaDecodeStage, batch_size=64, concurrency=(2, N),
     num_cpus=1, batch_format="pyarrow")``.
 
-    The real decode hook is :meth:`_decode_features`; the default
-    implementation is a DETERMINISTIC FAKE (sha256-seeded pseudo-features)
-    so the full pipeline — schema, batching, actor lifecycle, output
-    layout — runs and is testable without media libraries.
+    The decode hook is :meth:`_decode_features`: REAL for ``image/png``
+    (stdlib decode -> pixel thumbnail features); for other media types the
+    default is a DETERMINISTIC FAKE (sha256-seeded pseudo-features) so the
+    full pipeline — schema, batching, actor lifecycle, output layout —
+    runs and is testable without media libraries.
     """
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
@@ -89,17 +216,22 @@ class MediaDecodeStage:
 
     # ------------------------------------------------------------------
     def _decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
-        """STUB — replace with a real decoder (PIL/cv2/torchaudio).
+        """PNG: REAL decode (stdlib-zlib :func:`decode_png`) -> 8x8
+        grayscale-thumbnail pixel features. Other media types remain a
+        STUB — replace with a real decoder (PIL/cv2/torchaudio).
 
-        Default: deterministic pseudo-features seeded by the content hash
-        (stable across runs/partitionings, zero external deps). A strict
-        instance raises instead, making the stub impossible to miss.
+        Stub default: deterministic pseudo-features seeded by the content
+        hash (stable across runs/partitionings, zero external deps). A
+        strict instance raises on stubbed types instead, making the stub
+        impossible to miss.
         """
+        if media_type == "image/png":
+            return png_pixel_features(decode_png(payload))
         if self.strict:
             raise NotImplementedError(
-                "MediaDecodeStage._decode_features is a stub: no media "
-                "decode libraries in this environment. Subclass and "
-                "override with a real decoder."
+                "MediaDecodeStage._decode_features is a stub for "
+                f"{media_type}: no media decode libraries in this "
+                "environment. Subclass and override with a real decoder."
             )
         digest = hashlib.sha256(payload).digest()
         seed = int.from_bytes(digest[:8], "big") % (2**32)
@@ -159,20 +291,47 @@ def media_pipeline(
     )
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal filter-0 PNG encoder (public spec) — synth/test helper and
+    the round-trip witness for :func:`decode_png`. ``px`` is (h, w) gray
+    or (h, w, {1,2,3,4}) uint8."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = np.ascontiguousarray(px.astype(np.uint8)).reshape(h, w * c)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus: tiny valid PNG headers + WAV/JPEG
-    magic payloads with random tails (sniffable, not decodable)."""
+    """Deterministic fake media corpus: tiny REAL decodable PNGs (random
+    RGB pixels via :func:`encode_png`) + WAV/JPEG magic payloads with
+    random tails (sniffable, not decodable)."""
     rng = np.random.default_rng(seed)
     payloads, ids = [], []
     for i in range(n):
         kind = i % 3
         tail = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
-        if kind == 0:  # PNG with IHDR size
-            w, h = int(rng.integers(8, 512)), int(rng.integers(8, 512))
-            payload = (
-                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
-                + struct.pack(">II", w, h) + tail
-            )
+        if kind == 0:  # real decodable PNG
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_png(px)
         elif kind == 1:  # WAV
             payload = b"RIFF" + struct.pack("<I", len(tail) + 4) + b"WAVE" + tail
         else:  # JPEG

@@ -67,3 +67,146 @@ def test_media_pipeline_ray(ray_session):
     first = np.asarray(df["media_features"].iloc[0])
     assert first.shape == (FEATURE_DIM,)
     assert abs(np.linalg.norm(first) - 1.0) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode (stdlib zlib) — verdict r2 item #6
+# ---------------------------------------------------------------------------
+
+def _filtered_png(px, ftypes):
+    """Encode px with a CHOSEN filter type per scanline (spec forward
+    transform) — exercises every unfilter branch of decode_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_profiler_ray.stages.multimodal import _png_chunk
+
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    rows = px.astype(np.int32).reshape(h, w * c)
+    stride = w * c
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        cur = rows[y]
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+            filt[x] = (cur[x] - pred) & 0xFF
+        out += bytes([f]) + filt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_exact_roundtrip_all_color_types():
+    from data_profiler_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        got = decode_png(encode_png(px))
+        assert got.shape == (13, 9, c)
+        assert (got == px).all(), f"channels={c}"
+
+
+def test_decode_png_every_filter_type():
+    from data_profiler_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for f in (0, 1, 2, 3, 4):
+        got = decode_png(_filtered_png(px, [f]))
+        assert (got == px).all(), f"filter {f}"
+    # mixed filters across scanlines
+    got = decode_png(_filtered_png(px, [0, 1, 2, 3, 4]))
+    assert (got == px).all()
+
+
+def test_decode_png_palette():
+    import struct
+    import zlib
+
+    from data_profiler_ray.stages.multimodal import _png_chunk, decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert (got == pal[idx]).all()
+
+
+def test_decode_png_rejects_unsupported():
+    import pytest as _pytest
+
+    from data_profiler_ray.stages.multimodal import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"\xff\xd8\xff")  # not a PNG
+    # header-only PNG (old synth style) has no IDAT -> size mismatch
+    import struct
+
+    hdr_only = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 4, 4)
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError):
+        decode_png(hdr_only)
+
+
+def test_png_features_are_real_pixels():
+    """decode_ok=True with NON-fake features: a constant-color image maps
+    to the exact analytic thumbnail vector."""
+    from data_profiler_ray.stages.multimodal import (
+        MediaDecodeStage,
+        encode_png,
+        png_pixel_features,
+    )
+
+    px = np.full((16, 16, 3), 200, dtype=np.uint8)
+    payload = encode_png(px)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([payload], pa.large_binary()),
+        }
+    )
+    out = MediaDecodeStage()(t)
+    assert out["decode_ok"].to_pylist() == [True]
+    feat = np.array(out["media_features"].to_pylist()[0], dtype=np.float32)
+    # gray = 200 everywhere -> normalized 8x8 thumbnail = 1/8 per cell
+    assert np.allclose(feat, 1.0 / 8.0, atol=1e-6)
+    assert np.allclose(feat, png_pixel_features(px), atol=1e-7)
+    # strict mode must NOT raise for PNG (decode is real now)
+    out2 = MediaDecodeStage(strict=True)(t)
+    assert out2["decode_ok"].to_pylist() == [True]
