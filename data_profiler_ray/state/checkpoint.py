@@ -94,24 +94,67 @@ def _lineage_matches(part_dir: str, planned_files: list[str]) -> bool:
     return recorded == planned_files
 
 
+def _warm_lazy_imports() -> None:
+    """Ray's path resolution lazily re-imports ``fsspec.implementations
+    .http`` on EVERY read/write (a failed import is never cached by
+    Python), and swallows only ``ModuleNotFoundError``. Two wave threads
+    racing that import can observe a half-initialized module and die with
+    a bare ``ImportError`` instead. Import it once up front; if the
+    environment lacks ``aiohttp`` (so the real import can never succeed),
+    pin a benign stub module so later imports are cache hits rather than
+    repeated racy re-imports. The stub's only consumer is an
+    ``isinstance`` check that is correctly False for local filesystems.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only — never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 def run_checkpointed(
     input_files: list[str],
     output_dir: str,
     pipeline_fn,
     *,
     files_per_partition: int = 4,
+    max_concurrent: int = 1,
     progress_callback=None,
 ) -> dict:
     """Run ``pipeline_fn(Dataset) -> Dataset`` over input partitions,
     skipping completed ones. Returns the merged job summary.
+
+    Up to ``max_concurrent`` partitions execute CONCURRENTLY (driver
+    threads; each partition's Dataset pipeline runs its own streaming
+    executor on the shared cluster, so waves overlap instead of leaving
+    the cluster idle between a partition's write tail and the next one's
+    read ramp). On a real cluster 2-8 is the right setting; the default
+    stays serial because on this sandbox each fresh actor pool pays a
+    globally-serialized page-fault warm-up, so concurrent pools are
+    SLOWER than waves run back-to-back (measured; see BASELINE.md
+    environment notes). Commit stays per-partition atomic — write to
+    ``_tmp-{pid}``, fsync lineage, ``_SUCCESS`` last, rename — so
+    kill/resume semantics are identical to the serial path: a killed run
+    leaves only ``_tmp-*`` dirs that retries overwrite, and each
+    completed partition is skippable independently.
 
     ``pipeline_fn`` must be deterministic/idempotent (retries re-execute
     it on the same inputs — SURVEY.md §4.1 retry requirement).
 
     ``progress_callback(event: str, partition: int, total: int)`` mirrors
     the reference's state/progress hooks (``pipeline.py:78-99,120-139``);
-    events: ``"started" | "completed" | "skipped"``. Callback errors are
-    swallowed — observers must never fail the job.
+    events: ``"started" | "completed" | "skipped"``. With
+    ``max_concurrent > 1`` the callback may fire from worker threads
+    (serialize in the observer if needed). Callback errors are swallowed
+    — observers must never fail the job.
     """
 
     def _notify(event: str, pid: int, total: int) -> None:
@@ -130,13 +173,17 @@ def run_checkpointed(
         if pid >= len(partitions):
             shutil.rmtree(os.path.join(output_dir, f"partition={pid}"))
     ran, skipped = [], []
-
+    pending: list[tuple[int, list[str]]] = []
     for pid, files in enumerate(partitions):
         part_dir = os.path.join(output_dir, f"partition={pid}")
         if pid in done and _lineage_matches(part_dir, files):
             skipped.append(pid)
             _notify("skipped", pid, len(partitions))
-            continue
+        else:
+            pending.append((pid, files))
+
+    def run_one(pid: int, files: list[str]) -> int:
+        part_dir = os.path.join(output_dir, f"partition={pid}")
         _notify("started", pid, len(partitions))
         tmp_dir = os.path.join(output_dir, f"_tmp-{pid}")
         if os.path.exists(tmp_dir):
@@ -157,8 +204,18 @@ def run_checkpointed(
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
         os.rename(tmp_dir, part_dir)
-        ran.append(pid)
         _notify("completed", pid, len(partitions))
+        return pid
+
+    if max_concurrent <= 1 or len(pending) <= 1:
+        for pid, files in pending:
+            ran.append(run_one(pid, files))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _warm_lazy_imports()
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            ran = sorted(ex.map(lambda pf: run_one(*pf), pending))
 
     return job_summary(output_dir) | {"ran": ran, "skipped": skipped}
 

@@ -139,3 +139,55 @@ def test_progress_callback_events(input_files, tmp_path, ray_session):
     assert "reason_messages" in again
     for code, msg in again["reason_messages"].items():
         assert len(msg) > 20
+
+
+def test_concurrent_waves_overlap_and_resume_unchanged(
+    input_files, tmp_path, ray_session
+):
+    """Verdict r2 item #7: with max_concurrent > 1, partition waves
+    actually overlap in time; summary and resume semantics are identical
+    to the serial path."""
+    import threading
+    import time
+
+    intervals = []
+    lock = threading.Lock()
+
+    def label(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = batch.append_column("keep", pa.array([True] * n))
+        out = out.append_column("reason", pa.array([None] * n, pa.string()))
+        return out.append_column("scrubbed", pa.array([False] * n))
+
+    def pipeline(ds):
+        # lightweight stage (no actor pool) — this test measures WAVE
+        # overlap, not flagship cost; actor spin-up on this sandbox costs
+        # ~20 s per fresh execution and would swamp the suite
+        t0 = time.monotonic()
+        time.sleep(0.4)
+        with lock:
+            intervals.append((t0, time.monotonic()))
+        return ds.map_batches(label, batch_format="pyarrow")
+
+    out = str(tmp_path / "out")
+    summary = run_checkpointed(
+        input_files, out, pipeline, files_per_partition=1, max_concurrent=3
+    )
+    assert summary["partitions"] == 8
+    assert sorted(summary["ran"]) == list(range(8))
+    assert summary["rows_in"] == 400
+    # at least one pair of pipeline invocations ran concurrently
+    overlaps = sum(
+        1
+        for i in range(len(intervals))
+        for j in range(i + 1, len(intervals))
+        if intervals[i][0] < intervals[j][1] and intervals[j][0] < intervals[i][1]
+    )
+    assert overlaps >= 1, intervals
+    # resume over the same inputs is a no-op regardless of concurrency
+    summary2 = run_checkpointed(
+        input_files, out, pipeline, files_per_partition=1, max_concurrent=3
+    )
+    assert summary2["ran"] == []
+    assert sorted(summary2["skipped"]) == list(range(8))
+    assert summary2["rows_in"] == 400
