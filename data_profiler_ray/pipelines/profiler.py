@@ -448,15 +448,24 @@ def _rank_select_search(
         if not to_refine:
             break
         bounds = [(iv["lo"], iv["hi"]) for iv in to_refine]
+        # ONE shared edge array per interval drives BOTH histogram
+        # assignment (searchsorted) and the child-interval boundaries —
+        # float division at a bin edge could disagree with a later
+        # [sub_lo, sub_hi] comparison and shift a 'below' count by one
+        # (r2 advice item); searchsorted against the same edges makes the
+        # two consistent by construction. linspace pins edges[-1] == hi.
+        edge_sets = [np.linspace(lo, hi, num_bins + 1) for lo, hi in bounds]
 
-        def hist_fn(batch: pa.Table, bounds=tuple(bounds)) -> pa.Table:
+        def hist_fn(batch: pa.Table, edge_sets=tuple(edge_sets)) -> pa.Table:
             vals = batch[col].to_numpy(zero_copy_only=False)
             rows = []
-            for j, (lo, hi) in enumerate(bounds):
-                width = (hi - lo) / num_bins
+            for j, edges in enumerate(edge_sets):
+                lo, hi = edges[0], edges[-1]
                 sel = vals[(vals >= lo) & (vals <= hi)]
                 idx = np.clip(
-                    ((sel - lo) / width).astype(np.int64), 0, num_bins - 1
+                    np.searchsorted(edges, sel, side="right") - 1,
+                    0,
+                    num_bins - 1,
                 )
                 counts = np.bincount(idx, minlength=num_bins)
                 rows.append(
@@ -481,8 +490,7 @@ def _rank_select_search(
         new_intervals = []
         progressed = False
         for j, iv in enumerate(to_refine):
-            lo, hi = iv["lo"], iv["hi"]
-            width = (hi - lo) / num_bins
+            edges = edge_sets[j]
             counts = agg.loc[j].reindex(range(num_bins), fill_value=0).to_numpy()
             cum = np.cumsum(counts)
             by_bin: dict[int, list[int]] = {}
@@ -492,8 +500,10 @@ def _rank_select_search(
                 b = min(b, num_bins - 1)
                 by_bin.setdefault(b, []).append(r)
             for b, ranks in sorted(by_bin.items()):
-                sub_lo = lo + b * width
-                sub_hi = hi if b == num_bins - 1 else lo + (b + 1) * width
+                # same edges array as hist_fn — membership and assignment
+                # agree exactly, even for values sitting on a bin edge
+                sub_lo = float(edges[b])
+                sub_hi = float(iv["hi"] if b == num_bins - 1 else edges[b + 1])
                 sub_below = iv["below"] + (int(cum[b - 1]) if b > 0 else 0)
                 sub_count = int(counts[b])
                 if sub_count < iv["count"]:
