@@ -27,10 +27,22 @@ from ..util import from_pandas_clean
 
 
 def _ts_us(arr) -> np.ndarray:
-    """Timestamp column -> int64 microseconds since epoch."""
+    """Timestamp column -> int64 microseconds since epoch.
+
+    Null timestamps are REJECTED: to_numpy would silently turn them into
+    float NaN window keys / ranks, diverging from SQL NULL-group
+    semantics (r2 advice item). Temporal operators require a non-null
+    ``ts_col`` — filter upstream (``ds.filter`` /
+    ``pc.drop_null``) before windowing or joining.
+    """
     a = arr
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
+    if a.null_count:
+        raise ValueError(
+            f"temporal operator requires non-null timestamps "
+            f"({a.null_count} null of {len(a)}); drop or fill them upstream"
+        )
     return pc.cast(a, pa.timestamp("us")).cast(pa.int64()).to_numpy(
         zero_copy_only=False
     )

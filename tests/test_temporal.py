@@ -117,3 +117,22 @@ def test_sliding_window_aggregate(ray_session):
     }
     with pytest.raises(ValueError):
         windowed_aggregate(ds, window="1h", slide="25min")
+
+
+def test_null_timestamps_rejected(ray_session):
+    # r2 advice: null ts must raise (not become NaN window keys)
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_profiler_ray.pipelines.temporal import windowed_aggregate
+
+    t = pa.table(
+        {
+            "ts": pa.array([1_000_000, None, 3_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with _pytest.raises(Exception, match="non-null timestamps"):
+        windowed_aggregate(ds, window="1h")
