@@ -331,6 +331,130 @@ def line_ending_counts(content: pa.Array) -> dict[str, pa.Array]:
     }
 
 
+def detect_line_endings(
+    content: pa.Array,
+    *,
+    sample_size: int | None = None,
+    quoted_aware: bool = False,
+) -> pa.Table:
+    """Full ``CRLFDetector.detect`` semantics per row — including the
+    experimental ``quoted_aware`` and ``sample_size`` modes the core
+    :func:`line_ending_counts` omits (reference ``ingest.py:282-430``).
+
+    Vectorized over the flat value buffer; each row is one "stream":
+
+    - ``quoted_aware``: a line ending whose quote parity (count of ``\"``
+      bytes before it in the row) is odd is skipped. ``prev_byte``
+      tracking is quote-blind, so a quoted ``\\r`` immediately followed
+      by an unquoted ``\\n`` counts as NOTHING — faithfully mirroring the
+      reference's sequential loop.
+    - ``sample_size``: only the first N counted endings per row
+      contribute (``None``/0 = all).
+    - ``style``: predominant kind with the reference's tie preference
+      (CRLF, then LF, then CR); ``NONE`` when no endings sampled.
+      ``mixed`` = more than one kind among the sampled endings.
+
+    Returns a table: style:string, mixed:bool, crlf_count, lf_count,
+    cr_count, sample_count (int64).
+    """
+    binary = content
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    binary = pc.fill_null(pc.cast(binary, pa.large_binary()), b"")
+    if isinstance(binary, pa.ChunkedArray):
+        binary = binary.combine_chunks()
+    n = len(binary)
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    lens = np.diff(offsets)
+    size = int(offsets[-1] - offsets[0])
+    zeros = np.zeros(n, dtype=np.int64)
+    if buf is None or size == 0:
+        return pa.table(
+            {
+                "style": pa.array(["NONE"] * n, pa.string()),
+                "mixed": pa.array(np.zeros(n, dtype=bool)),
+                "crlf_count": pa.array(zeros),
+                "lf_count": pa.array(zeros),
+                "cr_count": pa.array(zeros),
+                "sample_count": pa.array(zeros),
+            }
+        )
+    region = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    rel_starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    rel_ends = (offsets[1:] - offsets[0]).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    byte_end = np.repeat(rel_ends, lens)
+    idx = np.arange(size, dtype=np.int64)
+
+    is_cr = region == 0x0D
+    is_lf = region == 0x0A
+    nxt_lf = np.zeros(size, dtype=bool)
+    nxt_lf[:-1] = is_lf[1:]
+    next_in_row = idx + 1 < byte_end
+    prv_cr = np.zeros(size, dtype=bool)
+    prv_cr[1:] = is_cr[:-1]
+    # prev_byte is None only at the very start of the row's stream
+    has_prev = idx > np.repeat(rel_starts, lens)
+
+    crlf_at = is_cr & nxt_lf & next_in_row
+    cr_at = is_cr & ~(nxt_lf & next_in_row)
+    lf_at = is_lf & ~(prv_cr & has_prev)
+
+    counted = crlf_at | cr_at | lf_at
+    if quoted_aware:
+        is_q = (region == 0x22).astype(np.int64)
+        qcum = np.cumsum(is_q)
+        qex = qcum - is_q  # quotes strictly before each byte
+        qex_pad = np.append(qex, qcum[-1] if size else 0)
+        start_q = np.repeat(qex_pad[rel_starts], lens)
+        in_quotes = ((qex - start_q) % 2).astype(bool)
+        counted &= ~in_quotes
+
+    pos = np.flatnonzero(counted)
+    rows = row_of[pos]
+    if sample_size:
+        # rows is sorted; index within row = global index - first index
+        first = np.searchsorted(rows, rows, side="left")
+        keep = (np.arange(len(pos)) - first) < sample_size
+        pos, rows = pos[keep], rows[keep]
+
+    kind = np.where(crlf_at[pos], 0, np.where(cr_at[pos], 1, 2))
+    crlf_count = np.bincount(rows[kind == 0], minlength=n).astype(np.int64)
+    cr_count = np.bincount(rows[kind == 1], minlength=n).astype(np.int64)
+    lf_count = np.bincount(rows[kind == 2], minlength=n).astype(np.int64)
+    sample_count = crlf_count + cr_count + lf_count
+
+    # reference decision chains (strict-majority then >=-tie) reduce to
+    # one >=-preference chain: CRLF, then LF, then CR
+    style = np.where(
+        sample_count == 0,
+        "NONE",
+        np.where(
+            (crlf_count >= lf_count) & (crlf_count >= cr_count),
+            "CRLF",
+            np.where(lf_count >= cr_count, "LF", "CR"),
+        ),
+    )
+    kinds = (
+        (crlf_count > 0).astype(np.int64)
+        + (lf_count > 0).astype(np.int64)
+        + (cr_count > 0).astype(np.int64)
+    )
+    return pa.table(
+        {
+            "style": pa.array(style.astype(object), pa.string()),
+            "mixed": pa.array(kinds > 1),
+            "crlf_count": pa.array(crlf_count),
+            "lf_count": pa.array(lf_count),
+            "cr_count": pa.array(cr_count),
+            "sample_count": pa.array(sample_count),
+        }
+    )
+
+
 def line_metrics(content: pa.Array) -> dict[str, np.ndarray]:
     """Per-row line statistics computed via Arrow list kernels + reduceat.
 

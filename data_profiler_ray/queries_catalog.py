@@ -994,6 +994,74 @@ def q_type_inference(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_line_ending_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-document line-ending profile (full ``CRLFDetector.detect``
+    semantics, M2 family) over deterministic CRLF/CR/trailing-CR variants
+    of the text — the corpus itself is LF-only, so the variants (derived
+    identically in the SQL oracle) exercise every style branch: doc_id%4
+    = 0 unchanged, 1 all-CRLF, 2 all-CR, 3 mixed (LF + one trailing CR)."""
+    from .functions.text_metrics import detect_line_endings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.fill_null(batch["text"], "")
+        m = pa.array(ids % 4)
+        v = pc.if_else(
+            pc.equal(m, 1), pc.replace_substring(text, "\n", "\r\n"), text
+        )
+        v = pc.if_else(pc.equal(m, 2), pc.replace_substring(text, "\n", "\r"), v)
+        v = pc.if_else(
+            pc.equal(m, 3), pc.binary_join_element_wise(text, "\r", ""), v
+        )
+        det = detect_line_endings(v)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "style": det["style"],
+                "mixed": det["mixed"],
+                "crlf_count": det["crlf_count"],
+                "lf_count": det["lf_count"],
+                "cr_count": det["cr_count"],
+            }
+        )
+
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_LINE_ENDING_PROFILE = """
+WITH v AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 1 THEN replace(coalesce(text,''), chr(10), chr(13)||chr(10))
+      WHEN 2 THEN replace(coalesce(text,''), chr(10), chr(13))
+      WHEN 3 THEN coalesce(text,'') || chr(13)
+      ELSE coalesce(text,'') END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CAST((length(t) - length(replace(t, chr(13)||chr(10), ''))) / 2 AS BIGINT) AS crlf_count,
+    CAST(length(t) - length(replace(t, chr(10), '')) AS BIGINT)
+      - CAST((length(t) - length(replace(t, chr(13)||chr(10), ''))) / 2 AS BIGINT) AS lf_count,
+    CAST(length(t) - length(replace(t, chr(13), '')) AS BIGINT)
+      - CAST((length(t) - length(replace(t, chr(13)||chr(10), ''))) / 2 AS BIGINT) AS cr_count
+  FROM v
+)
+SELECT doc_id,
+  CASE WHEN crlf_count + lf_count + cr_count = 0 THEN 'NONE'
+       WHEN crlf_count >= lf_count AND crlf_count >= cr_count THEN 'CRLF'
+       WHEN lf_count >= cr_count THEN 'LF'
+       ELSE 'CR' END AS style,
+  ((CASE WHEN crlf_count > 0 THEN 1 ELSE 0 END)
+   + (CASE WHEN lf_count > 0 THEN 1 ELSE 0 END)
+   + (CASE WHEN cr_count > 0 THEN 1 ELSE 0 END)) > 1 AS mixed,
+  crlf_count, lf_count, cr_count
+FROM c ORDER BY doc_id
+"""
+
+
 # DuckDB mirror of the full type-inference pass over the documents table:
 # per-value regex votes with the reference's continue-chain priority
 # (date-before-numeric, money disambiguation, reference types.py:271-301),
@@ -1193,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_scores": q_langid,
         "media_metadata": q_media_metadata,
         "type_inference_summary": q_type_inference,
+        "line_ending_profile": q_line_ending_profile,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1224,5 +1293,6 @@ def oracle_sql() -> dict[str, str]:
         "repo_stats": _SQL_REPO_STATS,
         "dup_line_stats": _SQL_DUP_LINE_STATS,
         "type_inference_summary": _SQL_TYPE_INFERENCE,
+        "line_ending_profile": _SQL_LINE_ENDING_PROFILE,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

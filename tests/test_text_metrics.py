@@ -3,6 +3,7 @@ CRLFDetector / UTF8Validator, profile.py StringProfiler length semantics)."""
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -119,3 +120,48 @@ def test_utf8_validity_nulls_and_empty():
     valid, off = utf8_validity(arr)
     assert valid.to_pylist() == [True, True, True]
     assert off.to_pylist() == [-1, -1, -1]
+
+
+# ---------------------------------------------------------------------------
+# detect_line_endings: full CRLFDetector parity (quoted-aware + sampling)
+# ---------------------------------------------------------------------------
+
+def test_detect_line_endings_differential_vs_reference():
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/reference/api")
+    try:
+        from services.ingest import CRLFDetector  # type: ignore
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("reference not importable")
+    finally:
+        sys.path.remove("/root/reference/api")
+
+    from data_profiler_ray.functions.text_metrics import detect_line_endings
+
+    rng = np.random.default_rng(99)
+    alphabet = list(b'ab"x\r\n') + [13, 10, 34]  # heavy in CR/LF/quote
+    payloads = [b""]
+    for _ in range(120):
+        m = int(rng.integers(0, 60))
+        payloads.append(bytes(rng.choice(alphabet, size=m).astype(np.uint8)))
+    payloads += [b"\r", b"\n", b"\r\n", b'"\r\n"', b'"\r"\n', b"a\rb\nc\r\n", b'"']
+    arr = pa.array(payloads, pa.large_binary())
+
+    for qa in (False, True):
+        for ss in (None, 1, 3):
+            mine = detect_line_endings(arr, sample_size=ss, quoted_aware=qa)
+            for i, p in enumerate(payloads):
+                ref = CRLFDetector(
+                    io.BytesIO(p), sample_size=ss, quoted_aware=qa
+                ).detect()
+                ctx = (i, p, qa, ss)
+                assert mine["crlf_count"][i].as_py() == ref.crlf_count, ctx
+                assert mine["lf_count"][i].as_py() == ref.lf_count, ctx
+                assert mine["cr_count"][i].as_py() == ref.cr_count, ctx
+                assert mine["sample_count"][i].as_py() == ref.sample_count, ctx
+                assert mine["mixed"][i].as_py() == ref.mixed, ctx
+                assert mine["style"][i].as_py() == ref.original_style, ctx
