@@ -43,6 +43,16 @@ def _tune_allocator() -> None:
         libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
     except Exception:
         pass  # non-glibc platform: harmless no-op
+    try:
+        # Arrow's jemalloc pool time-decays dirty pages back to the OS,
+        # so every Arrow batch allocation re-faults pages through the
+        # same serialized fault path; disable decay so Arrow arenas stay
+        # resident like the glibc arena above.
+        import pyarrow as _pa
+
+        _pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass  # non-jemalloc Arrow build: harmless no-op
 
 
 _tune_allocator()
