@@ -1,0 +1,178 @@
+"""Deterministic sampling + shard-packing operators for training-data
+pipelines.
+
+Beyond-reference family (task-brief: "operations a large-scale
+training-data pipeline would need"). Both operators are exactly
+reproducible (pure functions of ids — no RNG state), so they are
+SQL-oracle-able and safe to re-run on retries (SURVEY.md §4.1
+idempotency requirement).
+
+- :func:`stratified_sample` — per-key deterministic sample of n rows:
+  the n rows with smallest ``h(id) = (id * 2654435761 + seed) mod 2^32``
+  (Knuth multiplicative hash — a fixed pseudo-random permutation of the
+  id space). Shape: per-batch local top-n combiner bounds the shuffle to
+  ``n × keys`` rows per batch, then ONE small ``groupby(key)`` merge —
+  never moves the corpus.
+
+- :func:`pack_shards` — assign rows (in id order) to contiguous shards
+  of ~``budget`` total ``size_col`` each: ``shard = exclusive_prefix_sum
+  (size) // budget``. The global prefix sum is distributed: one combiner
+  scan produces per-id-range bucket totals (driver holds ``n_buckets``
+  numbers), an exclusive scan gives each bucket its base offset, and ONE
+  bounded shuffle keyed by the int bucket finishes the within-bucket
+  cumsum. This is the standard two-level scan; the only all-to-all moves
+  a 16-byte ``(id, size)`` projection, never content.
+
+Both require non-null ids/sizes (same contract as the temporal family).
+``id`` must fit in uint32 for the hash to match 64-bit SQL arithmetic
+(documented; ids at 100 TB scale should be 64-bit — swap the hash for
+splitmix64 in both engines if so).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..util import from_pandas_clean
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def _hash_ids(ids: np.ndarray, seed: int) -> np.ndarray:
+    """(id * 2654435761 + seed) mod 2^32 in uint64 — identical to DuckDB
+    BIGINT arithmetic for id < 2^32 (product < 2^64, no wrap)."""
+    return (ids.astype(np.uint64) * _KNUTH + np.uint64(seed)) % _MOD32
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    n_per_key: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Deterministic stratified sample: for each key, the ``n_per_key``
+    rows with the smallest id-hash (ties broken by id).
+
+    Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY
+    (id * 2654435761 + seed) % 4294967296, id) <= n``.
+    """
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_numpy(zero_copy_only=False),
+                id_col: ids,
+                "h": _hash_ids(ids, seed),
+            }
+        )
+        out = (
+            df.sort_values(["h", id_col])
+            .groupby(key_col, sort=False)
+            .head(n_per_key)
+        )
+        return from_pandas_clean(out)
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["h", id_col]).head(n_per_key)
+
+    out = (
+        ds.map_batches(local_topn, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_key, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop(columns=["h"])
+        .sort_values([key_col, id_col])
+        .reset_index(drop=True)
+    )
+
+
+def pack_shards(
+    ds: ray.data.Dataset,
+    *,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Assign each row (in ascending ``id_col`` order) the shard index
+    ``exclusive_prefix_sum(size_col) // budget`` — contiguous packing of
+    ~``budget`` units per shard, the deterministic sharding step before
+    sequence-packing / tokenizing a corpus.
+
+    Distributed two-level scan (see module docstring): per-range bucket
+    totals -> driver exclusive scan (n_buckets numbers) -> one bounded
+    shuffle keyed by int bucket for the within-bucket cumsum.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    # pass 0: id range (column-pruned scan) — defines contiguous buckets
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.select_columns([id_col]).aggregate(
+        Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
+    )
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = max(1, (hi - lo) // n_buckets + 1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        sizes_arr = batch[size_col]
+        if ids_arr.null_count or sizes_arr.null_count:
+            raise ValueError("pack_shards requires non-null id and size columns")
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = sizes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((ids - lo) // span),
+                id_col: pa.array(ids),
+                "sz": pa.array(sizes),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    # pass 1: per-bucket totals (combiner per batch, merged on driver —
+    # n_buckets rows per batch, n_buckets totals overall)
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("bucket", sort=False)["sz"].sum().reset_index()
+        return from_pandas_clean(g)
+
+    totals = (
+        proj.map_batches(bucket_sums, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket")["sz"]
+        .sum()
+        .sort_index()
+    )
+    per_bucket = totals.reindex(range(n_buckets + 1), fill_value=0).to_numpy()
+    bases = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+
+    # pass 2: ONE shuffle keyed by the int bucket; each bucket holds a
+    # contiguous id range, so its sorted local cumsum + base is the
+    # global exclusive prefix sum
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        sizes = g["sz"].to_numpy(dtype=np.int64)
+        excl = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + int(
+            bases[int(g["bucket"].iloc[0])]
+        )
+        return pd.DataFrame({id_col: g[id_col], "shard": excl // budget})
+
+    out = (
+        proj.groupby("bucket")
+        .map_groups(pack_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out["shard"] = out["shard"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -994,6 +994,43 @@ def q_type_inference(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language sample of the documents table (20 per
+    lang, Knuth-hash order) — the training-data quota-sampling step."""
+    from .pipelines.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, key_col="lang", n_per_key=20, seed=7)
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * 2654435761 + 7) % 4294967296, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20 ORDER BY lang, doc_id
+"""
+
+
+def q_pack_shards(sf_dir: str) -> pd.DataFrame:
+    """Token-budget shard assignment over documents (n_chars as the size
+    proxy, 50k per shard) via the distributed two-level prefix sum."""
+    from .pipelines.sampling import pack_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_shards(ds, size_col="n_chars", budget=50000)
+
+
+_SQL_PACK_SHARDS = """
+SELECT doc_id,
+  coalesce(sum(n_chars) OVER (
+    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  // 50000 AS shard
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_line_ending_profile(sf_dir: str) -> pd.DataFrame:
     """Per-document line-ending profile (full ``CRLFDetector.detect``
     semantics, M2 family) over deterministic CRLF/CR/trailing-CR variants
@@ -1262,6 +1299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": q_media_metadata,
         "type_inference_summary": q_type_inference,
         "line_ending_profile": q_line_ending_profile,
+        "stratified_sample": q_stratified_sample,
+        "pack_shards": q_pack_shards,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1294,5 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_line_stats": _SQL_DUP_LINE_STATS,
         "type_inference_summary": _SQL_TYPE_INFERENCE,
         "line_ending_profile": _SQL_LINE_ENDING_PROFILE,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "pack_shards": _SQL_PACK_SHARDS,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -1,0 +1,76 @@
+"""stratified_sample + pack_shards: brute-force equivalence and
+partitioning invariance (the distributed prefix sum must not depend on
+block boundaries)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.sampling import (
+    _hash_ids,
+    pack_shards,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def table():
+    rng = np.random.default_rng(5)
+    n = 1000
+    # non-contiguous, shuffled ids; skewed sizes
+    ids = rng.permutation(np.arange(0, 3 * n, 3, dtype=np.int64))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], size=n)),
+            "n_chars": pa.array(
+                rng.integers(1, 2000, size=n, dtype=np.int64)
+            ),
+        }
+    )
+
+
+def test_stratified_sample_matches_bruteforce(table, ray_session):
+    df = table.to_pandas()
+    df["h"] = _hash_ids(df.doc_id.to_numpy(), 3)
+    want = (
+        df.sort_values(["h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(7)[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(table.select(["doc_id", "lang"])).repartition(parts)
+        got = stratified_sample(ds, key_col="lang", n_per_key=7, seed=3)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_shards_matches_bruteforce(table, ray_session):
+    df = table.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    excl = np.concatenate([[0], np.cumsum(df.n_chars.to_numpy())[:-1]])
+    want = pd.DataFrame({"doc_id": df.doc_id, "shard": excl // 5000})
+    want["shard"] = want["shard"].astype("int64")
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(table.select(["doc_id", "n_chars"])).repartition(parts)
+        got = pack_shards(ds, size_col="n_chars", budget=5000)
+        pd.testing.assert_frame_equal(got, want)
+    # every shard except the last holds >= budget-worth of (straddling)
+    # content: shard indices are contiguous starting at 0
+    shards = got.shard.to_numpy()
+    assert shards[0] == 0
+    assert (np.diff(shards) >= 0).all()
+    assert set(np.unique(shards)) == set(range(int(shards.max()) + 1))
+
+
+def test_pack_shards_rejects_null_sizes(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "n_chars": pa.array([10, None, 30], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="non-null"):
+        pack_shards(ray.data.from_arrow(t), size_col="n_chars", budget=100)
