@@ -609,6 +609,65 @@ def ngram_jaccard_dedup(
     return out.reset_index(drop=True)
 
 
+def neardup_dedup(
+    ds: ray.data.Dataset,
+    *,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> ray.data.Dataset:
+    """Corpus-level near-duplicate DEDUP: detect pairs, union-find them
+    into clusters, keep ONE representative (the smallest id) per cluster.
+
+    The end-to-end operator a training-data pipeline actually runs (the
+    pair lists are diagnostics; this labels the corpus). Appends:
+
+    - ``near_dup_cluster:int64`` — the cluster representative's id (a
+      row outside any cluster is its own representative);
+    - ``near_dup_keep:bool`` — True for representatives and singletons.
+
+    Shape: the pair phase is the documented LSH pipeline (salted buckets
+    — union-find recovers full clusters from the connected subset);
+    cluster state is ``{member_id: root_id}`` for DUP members only —
+    proportional to duplicates, not corpus — broadcast once via
+    ``ray.put`` and applied in a stateless ``map_batches`` (J2 pattern).
+    """
+    if method == "minhash":
+        pairs = ngram_jaccard_dedup(
+            ds, threshold=threshold, text_col=text_col, id_col=id_col, **kwargs
+        )
+    elif method == "simhash":
+        pairs = simhash_pairs(ds, text_col=text_col, id_col=id_col, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    roots = pairs_to_clusters(pairs[["id_a", "id_b"]]) if len(pairs) else {}
+    # only non-root members need shipping; roots/singletons default to
+    # self. Broadcast as id-sorted parallel arrays so the per-batch
+    # lookup is one vectorized searchsorted, not a Python dict loop.
+    dup_items = sorted((int(i), int(r)) for i, r in roots.items() if i != r)
+    dup_keys = np.array([k for k, _ in dup_items], dtype=np.int64)
+    dup_vals = np.array([v for _, v in dup_items], dtype=np.int64)
+    map_ref = ray.put((dup_keys, dup_vals))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(map_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = ids.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = keys[pos_c] == ids
+            cluster[hit] = vals[pos_c[hit]]
+        keep = cluster == ids
+        out = batch.append_column("near_dup_cluster", pa.array(cluster))
+        return out.append_column("near_dup_keep", pa.array(keep))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

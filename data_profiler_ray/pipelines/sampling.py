@@ -69,7 +69,9 @@ def stratified_sample(
             {
                 key_col: batch[key_col].to_numpy(zero_copy_only=False),
                 id_col: ids,
-                "h": _hash_ids(ids, seed),
+                # int64: h < 2^32 by construction; uint64 would force a
+                # schema-unifying copy in the groupby
+                "h": _hash_ids(ids, seed).astype(np.int64),
             }
         )
         out = (

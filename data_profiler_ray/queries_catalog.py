@@ -994,6 +994,21 @@ def q_type_inference(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup corpus dedup over documents: MinHash-LSH +
+    exact-Jaccard pairs -> union-find clusters -> one keeper per cluster.
+    Rows-only: LSH candidate generation is not SQL-expressible."""
+    from .pipelines.neardup import neardup_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        neardup_dedup(ds, threshold=0.7)
+        .select_columns(["doc_id", "near_dup_cluster", "near_dup_keep"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-language sample of the documents table (20 per
     lang, Knuth-hash order) — the training-data quota-sampling step."""
@@ -1301,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_ending_profile": q_line_ending_profile,
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
+        "neardup_dedup": q_neardup_dedup,
         "flagship_quality_filter": q_flagship,
     }
 

@@ -260,3 +260,47 @@ def test_range_join_overlaps_and_bounds(ray_session):
     # hi exclusive — NOT low); 55.0: mid only (beyond band hi); 500: high
     assert got == {(1, "low"), (1, "band"), (2, "mid"), (2, "band"),
                    (3, "mid"), (4, "high")}
+
+
+def test_neardup_dedup_keeps_one_per_cluster(ray_session):
+    from data_profiler_ray.pipelines.neardup import neardup_dedup
+
+    rng = np.random.default_rng(21)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=80))
+
+    # two planted clusters (light per-member noise) + unique docs
+    base_a, base_b = doc(), doc()
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(base_a + f" a{i}")
+        ids.append(i)
+    for i in range(40, 70):
+        texts.append(base_b + f" b{i}")
+        ids.append(i)
+    for i in range(70, 120):
+        texts.append(doc())
+        ids.append(i)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    out = (
+        neardup_dedup(ray.data.from_arrow(t).repartition(3), threshold=0.7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 120
+    a = out[out.doc_id < 40]
+    b = out[(out.doc_id >= 40) & (out.doc_id < 70)]
+    uniq = out[out.doc_id >= 70]
+    # each planted cluster: one cluster label, exactly one keeper (min id)
+    assert a.near_dup_cluster.nunique() == 1 and a.near_dup_keep.sum() == 1
+    assert a[a.near_dup_keep].doc_id.iloc[0] == 0
+    assert b.near_dup_cluster.nunique() == 1 and b.near_dup_keep.sum() == 1
+    assert b[b.near_dup_keep].doc_id.iloc[0] == 40
+    # unique docs all kept, each its own cluster
+    assert uniq.near_dup_keep.all()
+    assert (uniq.near_dup_cluster.to_numpy() == uniq.doc_id.to_numpy()).all()
