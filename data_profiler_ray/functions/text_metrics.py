@@ -615,13 +615,15 @@ def decode_binary_content(
         content = binary.cast(pa.large_string())
     else:
         # clear invalid rows so the bulk cast stays a validated Arrow
-        # kernel, then patch only the (rare) invalid rows with a
-        # replacement-char decode
+        # kernel, then patch ONLY the invalid rows with a replacement-
+        # char decode: valid rows never leave Arrow (the patch array is
+        # empty everywhere except invalid positions, merged via if_else)
         cleared = pc.if_else(valid, binary, pa.scalar(b"", pa.large_binary()))
-        strings = cleared.cast(pa.large_string()).to_pylist()
+        s = cleared.cast(pa.large_string())
+        patch = [""] * len(valid_np)
         for i in np.flatnonzero(~valid_np):
-            strings[i] = bytes(binary[i].as_py()).decode("utf-8", "replace")
-        content = pa.array(strings, pa.large_string())
+            patch[i] = bytes(binary[i].as_py()).decode("utf-8", "replace")
+        content = pc.if_else(valid, s, pa.array(patch, pa.large_string()))
 
     idx = batch.column_names.index(content_col)
     out = batch.set_column(idx, content_col, content)

@@ -56,11 +56,22 @@ def _salted_pair_indices(n: int, cap: int, kind: str) -> tuple[np.ndarray, np.nd
     into ``ceil(n/cap)`` contiguous sub-buckets; each sub-bucket emits
     its clique, and the sub-bucket representatives (first member of
     each) are paired recursively. Every member therefore stays CONNECTED
-    to the rest of its bucket — a downstream union-find
-    (:func:`pairs_to_clusters`) recovers the full cluster and hence
-    every within-cluster pair — with O(n x cap) work instead of O(n^2).
-    No silent pair loss; salting is logged.
+    to the rest of its bucket in the emitted CANDIDATE graph — with
+    O(n x cap) work instead of O(n^2) — and salting is logged.
+
+    Honest recall caveat: downstream similarity THRESHOLDING prunes
+    candidate edges, so a transitive-closure union-find
+    (:func:`pairs_to_clusters`) recovers a cluster only while some
+    surviving edge path spans it. A cross-sub-bucket representative
+    edge between two dissimilar members can be pruned and split a true
+    cluster across sub-buckets — the same failure mode any pair-based
+    union-find has for low-similarity chains, made somewhat more likely
+    because salting emits O(n x cap) of the O(n^2) clique edges. The
+    effect is conservative for dedup (extra keepers, never wrongly
+    dropped rows).
     """
+    if cap < 2:
+        raise ValueError(f"bucket cap must be >= 2, got {cap}")
     if n < 2:
         z = np.zeros(0, dtype=np.int64)
         return z, z
@@ -69,7 +80,7 @@ def _salted_pair_indices(n: int, cap: int, kind: str) -> tuple[np.ndarray, np.nd
         return iu.astype(np.int64), ju.astype(np.int64)
     starts = np.arange(0, n, cap, dtype=np.int64)
     _LOG.warning(
-        "%s bucket salted: size %d > cap %d (%d sub-buckets, connectivity preserved)",
+        "%s bucket salted: size %d > cap %d (%d sub-buckets, candidate-graph connectivity preserved)",
         kind,
         n,
         cap,
@@ -90,9 +101,10 @@ def _salted_pair_indices(n: int, cap: int, kind: str) -> tuple[np.ndarray, np.nd
 def pairs_to_clusters(pairs: pd.DataFrame) -> dict:
     """Union-find over (id_a, id_b) pairs -> ``{id: cluster_root}``.
 
-    The salting contract: over-cap buckets emit a connected subset of
-    the clique, so transitive closure over the emitted pairs recovers
-    full cluster membership (and thereby every within-cluster pair).
+    With unfiltered salted-bucket output, transitive closure over the
+    emitted pairs recovers full bucket membership; after similarity
+    thresholding, closure spans whatever edge paths survive (see the
+    :func:`_salted_pair_indices` recall caveat).
     """
     parent: dict = {}
 
@@ -574,17 +586,24 @@ def exact_jaccard_pairs(
             jac[k] = inter / union if union else 0.0
         return batch.append_column("jaccard", pa.array(jac))
 
+    # chunks complete in any order (Ray preserve_order is off), so carry
+    # an explicit input-order index and restore it after the collect —
+    # output row order must be deterministic and equal to the input's
     n_chunks = max(1, min(len(pairs) // 512 + 1, 64))
     step = -(-len(pairs) // n_chunks)
+    ordered = pairs.reset_index(drop=True).assign(
+        _ord=np.arange(len(pairs), dtype=np.int64)
+    )
     pairs_ds = ray.data.from_pandas(
         [
-            pairs.iloc[s : s + step].reset_index(drop=True)
-            for s in range(0, len(pairs), step)
+            ordered.iloc[s : s + step].reset_index(drop=True)
+            for s in range(0, len(ordered), step)
         ]
     )
+    out = pairs_ds.map_batches(verify, batch_format="pyarrow").to_pandas()
     return (
-        pairs_ds.map_batches(verify, batch_format="pyarrow")
-        .to_pandas()
+        out.sort_values("_ord")
+        .drop(columns=["_ord"])
         .reset_index(drop=True)
     )
 
@@ -628,8 +647,10 @@ def neardup_dedup(
       row outside any cluster is its own representative);
     - ``near_dup_keep:bool`` — True for representatives and singletons.
 
-    Shape: the pair phase is the documented LSH pipeline (salted buckets
-    — union-find recovers full clusters from the connected subset);
+    Shape: the pair phase is the documented LSH pipeline (salted
+    buckets; see the :func:`_salted_pair_indices` recall caveat — a
+    thresholded edge path must survive for union-find to span a
+    cluster, so splits are possible and err toward keeping extra rows);
     cluster state is ``{member_id: root_id}`` for DUP members only —
     proportional to duplicates, not corpus — broadcast once via
     ``ray.put`` and applied in a stateless ``map_batches`` (J2 pattern).

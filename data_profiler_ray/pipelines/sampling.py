@@ -44,7 +44,9 @@ _MOD32 = np.uint64(1) << np.uint64(32)
 
 def _hash_ids(ids: np.ndarray, seed: int) -> np.ndarray:
     """(id * 2654435761 + seed) mod 2^32 in uint64 — identical to DuckDB
-    BIGINT arithmetic for id < 2^32 (product < 2^64, no wrap)."""
+    HUGEINT arithmetic for id < 2^32 (the uint64 product < 2^64 never
+    wraps; the SQL side must cast to HUGEINT, since BIGINT overflows at
+    id > ~3.47e9)."""
     return (ids.astype(np.uint64) * _KNUTH + np.uint64(seed)) % _MOD32
 
 
@@ -123,6 +125,13 @@ def pack_shards(
     mm = ds.select_columns([id_col]).aggregate(
         Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
     )
+    if not mm or mm.get("lo") is None:  # empty dataset
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "shard": pd.Series(dtype="int64"),
+            }
+        )
     lo, hi = int(mm["lo"]), int(mm["hi"])
     span = max(1, (hi - lo) // n_buckets + 1)
 

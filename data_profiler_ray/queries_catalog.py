@@ -1018,11 +1018,14 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return stratified_sample(ds, key_col="lang", n_per_key=20, seed=7)
 
 
+# HUGEINT cast: BIGINT would overflow at doc_id > ~3.47e9, inside the
+# operator's documented id < 2^32 domain (numpy uint64 wraps only past
+# 2^64, so the two stay identical across the whole domain)
 _SQL_STRATIFIED_SAMPLE = """
 SELECT lang, doc_id FROM (
   SELECT lang, doc_id, row_number() OVER (
     PARTITION BY lang
-    ORDER BY (doc_id * 2654435761 + 7) % 4294967296, doc_id) AS rn
+    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761 + 7) % 4294967296, doc_id) AS rn
   FROM documents) t
 WHERE rn <= 20 ORDER BY lang, doc_id
 """

@@ -231,9 +231,19 @@ def job_summary(output_dir: str) -> dict:
         path = os.path.join(part_dir, "_lineage.json")
         if not os.path.exists(path):
             # pre-rename checkpoint dirs used the legacy name; a partition
-            # with neither file is skipped rather than crashing the roll-up
+            # with neither file is EXCLUDED from the roll-up — loudly, so
+            # an understated summary is never mistaken for a complete one
             path = os.path.join(part_dir, "lineage.json")
             if not os.path.exists(path):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "partition %d has _SUCCESS but no lineage file — "
+                    "excluded from the job summary; delete %s to force a "
+                    "re-run of that partition",
+                    pid,
+                    part_dir,
+                )
                 continue
         with open(path) as f:
             lin = json.load(f)

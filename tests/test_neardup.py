@@ -304,3 +304,12 @@ def test_neardup_dedup_keeps_one_per_cluster(ray_session):
     # unique docs all kept, each its own cluster
     assert uniq.near_dup_keep.all()
     assert (uniq.near_dup_cluster.to_numpy() == uniq.doc_id.to_numpy()).all()
+
+
+def test_salted_pair_indices_rejects_degenerate_cap():
+    from data_profiler_ray.pipelines.neardup import _salted_pair_indices
+
+    with pytest.raises(ValueError, match="cap"):
+        _salted_pair_indices(10, 1, "t")
+    with pytest.raises(ValueError, match="cap"):
+        _salted_pair_indices(10, 0, "t")

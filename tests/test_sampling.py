@@ -74,3 +74,14 @@ def test_pack_shards_rejects_null_sizes(ray_session):
     )
     with pytest.raises(Exception, match="non-null"):
         pack_shards(ray.data.from_arrow(t), size_col="n_chars", budget=100)
+
+
+def test_pack_shards_empty_dataset(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    out = pack_shards(ray.data.from_arrow(t), size_col="n_chars", budget=100)
+    assert out.empty and list(out.columns) == ["doc_id", "shard"]
