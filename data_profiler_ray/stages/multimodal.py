@@ -71,6 +71,70 @@ def parse_png_size(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_jpeg_size(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a JPEG SOFn frame header (pure marker walk, no
+    decode; public JFIF/ISO 10918 layout). Returns None when no frame
+    header is found before EOI/end."""
+    if not payload.startswith(b"\xff\xd8"):
+        return None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1  # padding / junk between markers
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01 or marker == 0xFF:
+            pos += 2  # standalone markers have no length field
+            continue
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame size
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 <= n:
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return w, h
+            return None
+        pos += 2 + length
+    return None
+
+
+def parse_gif_size(payload: bytes) -> tuple[int, int] | None:
+    """Width/height from a GIF logical screen descriptor (bytes 6-10,
+    little-endian; public GIF87a/89a spec)."""
+    if len(payload) >= 10 and payload[:4] == b"GIF8":
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    return None
+
+
+def parse_wav_meta(payload: bytes) -> dict | None:
+    """Channels / sample rate / duration_ms from RIFF-WAVE ``fmt `` and
+    ``data`` chunk headers (pure chunk walk, public RIFF spec)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    out: dict = {}
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= n:
+            channels, sample_rate, byte_rate = struct.unpack(
+                "<HII", payload[pos + 10 : pos + 20]
+            )
+            out.update(
+                channels=channels, sample_rate=sample_rate, byte_rate=byte_rate
+            )
+        elif cid == b"data":
+            out["data_size"] = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if "byte_rate" in out and "data_size" in out and out["byte_rate"]:
+        out["duration_ms"] = int(out["data_size"] * 1000 // out["byte_rate"])
+    return out or None
+
+
 # number of samples per pixel by PNG color type (spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -245,14 +309,20 @@ class MediaDecodeStage:
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
         n = len(payloads)
-        types, widths, heights, feats, ok = [], [], [], [], []
+        types, widths, heights, durs, feats, ok = [], [], [], [], [], []
         for v in payloads:
             b = v.as_py() if v.is_valid else b""
             mt = sniff_media_type(b)
-            size = parse_png_size(b)
+            size = (
+                parse_png_size(b)
+                or parse_jpeg_size(b)
+                or parse_gif_size(b)
+            )
+            wav = parse_wav_meta(b) if mt in ("audio/wav", "video/avi") else None
             types.append(mt)
             widths.append(size[0] if size else None)
             heights.append(size[1] if size else None)
+            durs.append(wav.get("duration_ms") if wav else None)
             try:
                 feats.append(self._decode_features(b, mt))
                 ok.append(True)
@@ -268,6 +338,9 @@ class MediaDecodeStage:
         out = batch.append_column("media_type", pa.array(types, pa.string()))
         out = out.append_column("media_w", pa.array(widths, pa.int32()))
         out = out.append_column("media_h", pa.array(heights, pa.int32()))
+        out = out.append_column(
+            "media_duration_ms", pa.array(durs, pa.int64())
+        )
         out = out.append_column("media_features", feat_arr)
         out = out.append_column("decode_ok", pa.array(ok, pa.bool_()))
         return out
@@ -332,8 +405,16 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_png(px)
-        elif kind == 1:  # WAV
-            payload = b"RIFF" + struct.pack("<I", len(tail) + 4) + b"WAVE" + tail
+        elif kind == 1:  # WAV with real fmt/data chunks (duration parses)
+            sr, ch, bits = 8000, 1, 8
+            byte_rate = sr * ch * bits // 8
+            fmt = struct.pack("<HHIIHH", 1, ch, sr, byte_rate, ch * bits // 8, bits)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(tail)) + tail
+            )
+            payload = b"RIFF" + struct.pack("<I", len(body)) + body
         else:  # JPEG
             payload = b"\xff\xd8\xff\xe0" + tail
         payloads.append(payload)

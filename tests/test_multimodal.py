@@ -210,3 +210,57 @@ def test_png_features_are_real_pixels():
     # strict mode must NOT raise for PNG (decode is real now)
     out2 = MediaDecodeStage(strict=True)(t)
     assert out2["decode_ok"].to_pylist() == [True]
+
+
+def test_jpeg_gif_wav_header_metadata():
+    import struct
+
+    from data_profiler_ray.stages.multimodal import (
+        parse_gif_size,
+        parse_jpeg_size,
+        parse_wav_meta,
+    )
+
+    def seg(marker, data):
+        return marker + struct.pack(">H", 2 + len(data)) + data
+
+    # JPEG: APP0 + DQT before SOF0, then frame header 640x480
+    app0 = seg(b"\xff\xe0", b"JFIF\x00" + b"\x00" * 9)
+    dqt = seg(b"\xff\xdb", b"\x00\x00")
+    sof0 = seg(b"\xff\xc0", b"\x08" + struct.pack(">HH", 480, 640) + b"\x01\x11\x00")
+    assert parse_jpeg_size(b"\xff\xd8" + app0 + dqt + sof0) == (640, 480)
+    # SOF2 (progressive) also carries the size
+    sof2 = seg(b"\xff\xc2", b"\x08" + struct.pack(">HH", 32, 64) + b"\x01\x11\x00")
+    assert parse_jpeg_size(b"\xff\xd8" + app0 + sof2) == (64, 32)
+    # DHT (C4) must NOT be mistaken for a frame header
+    dht = seg(b"\xff\xc4", b"\x00\x00")
+    assert parse_jpeg_size(b"\xff\xd8" + dht + sof0) == (640, 480)
+    assert parse_jpeg_size(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+    assert parse_jpeg_size(b"GIF89a") is None
+
+    assert parse_gif_size(b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00") == (320, 200)
+    assert parse_gif_size(b"\x89PNG") is None
+
+    # WAV: 8 kHz mono 8-bit, 4000-byte data chunk -> 500 ms
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4000) + b"\x00" * 4000
+    )
+    meta = parse_wav_meta(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert meta["channels"] == 1 and meta["sample_rate"] == 8000
+    assert meta["duration_ms"] == 500
+    assert parse_wav_meta(b"RIFFxxxxAVI ") is None
+
+
+def test_stage_emits_duration_for_wav(ray_session):
+    from data_profiler_ray.stages.multimodal import MediaDecodeStage, synth_media_table
+
+    out = MediaDecodeStage()(synth_media_table(30))
+    mt = out["media_type"].to_pylist()
+    durs = out["media_duration_ms"].to_pylist()
+    for t, d in zip(mt, durs):
+        if t == "audio/wav":
+            assert d is not None and d > 0
+        else:
+            assert d is None
