@@ -566,10 +566,17 @@ def exact_jaccard_pairs(
         )
 
     docs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
-    # _shingle_hashes output is np.unique -> sorted, assume_unique holds
-    sh_map = {
-        i: np.asarray(s, dtype=np.int64) for i, s in zip(docs[id_col], docs["sh"])
-    }
+    # _shingle_hashes output is np.unique -> sorted, assume_unique holds.
+    # (A candidate set disjoint from the corpus collects to a column-less
+    # empty frame — treat as no shingles; such pairs score 0.0.)
+    sh_map = (
+        {}
+        if docs.empty
+        else {
+            i: np.asarray(s, dtype=np.int64)
+            for i, s in zip(docs[id_col], docs["sh"])
+        }
+    )
     map_ref = ray.put(sh_map)
     empty_sh = np.zeros(0, dtype=np.int64)
 
@@ -733,6 +740,14 @@ def embedding_near_dup_bruteforce(
         )
 
     out = ds.map_batches(pairs_fn, batch_format="pyarrow").to_pandas()
+    if out.empty:  # a no-pairs Dataset collects to a COLUMN-LESS frame
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -313,3 +313,11 @@ def test_salted_pair_indices_rejects_degenerate_cap():
         _salted_pair_indices(10, 1, "t")
     with pytest.raises(ValueError, match="cap"):
         _salted_pair_indices(10, 0, "t")
+
+
+def test_embedding_bruteforce_no_pairs_returns_typed_empty(emb):
+    # a no-pairs Dataset collects to a column-less frame — must not crash
+    ds, _ = emb
+    out = embedding_near_dup_bruteforce(ds, tau=1.1)  # impossible threshold
+    assert out.empty
+    assert list(out.columns) == ["id_a", "id_b", "cosine"]
