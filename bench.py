@@ -108,6 +108,9 @@ def bench_queries() -> dict:
         "knn_bruteforce",
         "dup_line_stats",
         "duplicate_top_groups",
+        "line_ending_profile",
+        "stratified_sample",
+        "pack_shards",
         "minhash_near_dup",
     ]
     # first run matches the round-1 protocol (single pass, cold-ish

@@ -23,7 +23,9 @@ idempotency requirement).
   cumsum. This is the standard two-level scan; the only all-to-all moves
   a 16-byte ``(id, size)`` projection, never content.
 
-Both require non-null ids/sizes (same contract as the temporal family).
+Both require non-null, UNIQUE ids (duplicate ids would make the
+hash-order / prefix-sum tie-breaks partition-dependent) and non-null
+sizes — same contract style as the temporal family.
 ``id`` must fit in uint32 for the hash to match 64-bit SQL arithmetic
 (documented; ids at 100 TB scale should be 64-bit — swap the hash for
 splitmix64 in both engines if so).

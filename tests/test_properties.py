@@ -174,3 +174,50 @@ def test_segment_reduce_matches_python(values, seed):
         # (cancellation), not the result
         tol = 1e-9 * max(1.0, float(np.abs(seg).sum()) if len(seg) else 0.0)
         assert abs(got[i] - want) <= tol, i
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.binary(
+            max_size=40,
+            # bias toward CR/LF/quote bytes so endings actually occur
+        ).map(lambda b: bytes(x % 64 + 8 if x % 5 == 0 else x for x in b)),
+        max_size=8,
+    ),
+    st.sampled_from([None, 1, 2, 5]),
+    st.booleans(),
+)
+def test_detect_line_endings_matches_reference(payloads, sample_size, quoted):
+    """Hypothesis differential: the vectorized detector must agree with
+    the reference CRLFDetector byte-for-byte on arbitrary payloads in
+    every quoted_aware x sample_size mode."""
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/reference/api")
+    try:
+        from services.ingest import CRLFDetector  # type: ignore
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("reference not importable")
+    finally:
+        sys.path.remove("/root/reference/api")
+
+    import pyarrow as pa
+
+    from data_profiler_ray.functions.text_metrics import detect_line_endings
+
+    arr = pa.array(payloads, pa.large_binary())
+    mine = detect_line_endings(arr, sample_size=sample_size, quoted_aware=quoted)
+    for i, p in enumerate(payloads):
+        ref = CRLFDetector(
+            io.BytesIO(p), sample_size=sample_size, quoted_aware=quoted
+        ).detect()
+        ctx = (p, sample_size, quoted)
+        assert mine["crlf_count"][i].as_py() == ref.crlf_count, ctx
+        assert mine["lf_count"][i].as_py() == ref.lf_count, ctx
+        assert mine["cr_count"][i].as_py() == ref.cr_count, ctx
+        assert mine["style"][i].as_py() == ref.original_style, ctx
+        assert mine["mixed"][i].as_py() == ref.mixed, ctx
