@@ -121,10 +121,24 @@ def pack_shards(
     if budget <= 0:
         raise ValueError("budget must be positive")
 
-    # pass 0: id range (column-pruned scan) — defines contiguous buckets
+    # pass 0: ONE scan of the (possibly huge) base dataset produces the
+    # materialized 16-byte (id, size) projection; everything after —
+    # id-range aggregate, bucket totals, the shuffle — reads only the
+    # projection, never the base again
+    def project(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        sizes_arr = batch[size_col]
+        if ids_arr.null_count or sizes_arr.null_count:
+            raise ValueError("pack_shards requires non-null id and size columns")
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = sizes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "sz": pa.array(sizes)})
+
+    proj0 = ds.map_batches(project, batch_format="pyarrow").materialize()
+
     from ray.data.aggregate import Max, Min
 
-    mm = ds.select_columns([id_col]).aggregate(
+    mm = proj0.aggregate(
         Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
     )
     if not mm or mm.get("lo") is None:  # empty dataset
@@ -137,22 +151,11 @@ def pack_shards(
     lo, hi = int(mm["lo"]), int(mm["hi"])
     span = max(1, (hi - lo) // n_buckets + 1)
 
-    def project(batch: pa.Table) -> pa.Table:
-        ids_arr = batch[id_col]
-        sizes_arr = batch[size_col]
-        if ids_arr.null_count or sizes_arr.null_count:
-            raise ValueError("pack_shards requires non-null id and size columns")
-        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        sizes = sizes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array((ids - lo) // span),
-                id_col: pa.array(ids),
-                "sz": pa.array(sizes),
-            }
-        )
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array((ids - lo) // span))
 
-    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+    proj = proj0.map_batches(add_bucket, batch_format="pyarrow")
 
     # pass 1: per-bucket totals (combiner per batch, merged on driver —
     # n_buckets rows per batch, n_buckets totals overall)
