@@ -1,0 +1,101 @@
+"""Document chunking — the flat_map-shaped operator a training-data
+pipeline runs before tokenization: split each document into overlapping
+windows of at most ``max_chars``.
+
+Fully vectorized over the Arrow flat buffer: chunk boundaries, output
+offsets and the gather index are all numpy; the only data movement is
+one fancy-indexed byte gather per batch. Expansion happens inside
+``map_batches`` (a batch of n docs returns sum(n_chunks) rows), so the
+operator streams — no driver-side explosion.
+
+Byte semantics (documented contract): chunks are BYTE windows. For
+ASCII corpora byte == character and the DuckDB ``substr`` oracle matches
+exactly; a non-ASCII document whose window boundary would split a
+multi-byte codepoint fails the validated UTF-8 cast LOUDLY rather than
+silently emitting mojibake — normalize or chunk-by-rune upstream for
+such corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    *,
+    max_chars: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split each document into windows of ``max_chars`` bytes starting
+    every ``stride = max_chars - overlap`` bytes.
+
+    Output rows: ``(id_col, chunk_idx:int64, chunk:large_string)``.
+    Every document yields at least one chunk (empty docs yield one empty
+    chunk); ``n_chunks = max(1, ceil(len / stride))``, the final chunk
+    is clipped at the document end.
+    """
+    if max_chars <= 0:
+        raise ValueError("max_chars must be positive")
+    if not 0 <= overlap < max_chars:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_chars")
+    stride = max_chars - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        binary = batch[text_col]
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        binary = binary.cast(pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        n = len(binary)
+        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+            binary.offset : binary.offset + n + 1
+        ]
+        buf = binary.buffers()[2]
+        region = (
+            np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+            if buf is not None
+            else np.zeros(0, np.uint8)
+        )
+        starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+        lens = np.diff(offsets)
+
+        n_chunks = np.maximum(1, -(-lens // stride))
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_idx = np.arange(len(row_rep), dtype=np.int64) - first[row_rep]
+        rel_start = chunk_idx * stride
+        chunk_len = np.clip(lens[row_rep] - rel_start, 0, max_chars)
+
+        out_off = np.zeros(len(row_rep) + 1, dtype=np.int64)
+        np.cumsum(chunk_len, out=out_off[1:])
+        total = int(out_off[-1])
+        # gather: position within chunk + the chunk's absolute start
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_off[:-1], chunk_len)
+            + np.repeat(starts[row_rep] + rel_start, chunk_len)
+        )
+        data = region[gather] if total else np.zeros(0, np.uint8)
+        chunks_bin = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(row_rep),
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[row_rep]),
+                "chunk_idx": pa.array(chunk_idx),
+                # validated cast: a mid-codepoint byte cut raises instead
+                # of silently emitting invalid UTF-8
+                "chunk": chunks_bin.cast(pa.large_string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

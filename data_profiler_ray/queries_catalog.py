@@ -994,6 +994,32 @@ def q_type_inference(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Overlapping-window chunking of the documents table (320-byte
+    windows, 64-byte overlap) — the pre-tokenization flat_map. ASCII
+    corpus, so the byte windows equal DuckDB's char-based substr."""
+    from .pipelines.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, max_chars=320, overlap=64).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH mx AS (
+  SELECT greatest((max(length(coalesce(text,''))) + 255) // 256, 1) AS m
+  FROM documents
+), gs AS (
+  SELECT unnest(range(0, (SELECT m FROM mx))) AS g
+)
+SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+       substr(coalesce(text,''), CAST(g AS BIGINT) * 256 + 1, 320) AS chunk
+FROM documents CROSS JOIN gs
+WHERE g < greatest((length(coalesce(text,'')) + 255) // 256, 1)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
     """End-to-end near-dup corpus dedup over documents: MinHash-LSH +
     exact-Jaccard pairs -> union-find clusters -> one keeper per cluster.
@@ -1320,6 +1346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "neardup_dedup": q_neardup_dedup,
+        "chunk_documents": q_chunk_documents,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1354,5 +1381,6 @@ def oracle_sql() -> dict[str, str]:
         "line_ending_profile": _SQL_LINE_ENDING_PROFILE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_shards": _SQL_PACK_SHARDS,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -1,0 +1,75 @@
+"""chunk_documents: brute-force equivalence, edge cases, partitioning
+invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.chunking import chunk_documents
+
+
+def _brute(texts, max_chars, overlap):
+    stride = max_chars - overlap
+    out = []
+    for i, t in enumerate(texts):
+        n_chunks = max(1, -(-len(t) // stride))
+        for c in range(n_chunks):
+            out.append((i, c, t[c * stride : c * stride + max_chars]))
+    return out
+
+
+@pytest.mark.parametrize("max_chars,overlap", [(8, 0), (8, 3), (5, 4), (100, 10)])
+def test_chunking_matches_bruteforce(ray_session, max_chars, overlap):
+    rng = np.random.default_rng(9)
+    texts = [
+        "".join(chr(rng.integers(97, 123)) for _ in range(int(rng.integers(0, 40))))
+        for _ in range(60)
+    ]
+    texts[0] = ""  # empty doc -> one empty chunk
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            chunk_documents(
+                ray.data.from_arrow(t).repartition(parts),
+                max_chars=max_chars,
+                overlap=overlap,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        want = _brute(texts, max_chars, overlap)
+        assert len(out) == len(want)
+        got = list(zip(out.doc_id, out.chunk_idx, out.chunk))
+        assert got == want
+
+
+def test_chunking_rejects_bad_params(ray_session):
+    t = pa.table({"doc_id": pa.array([0]), "text": pa.array(["x"])})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_chars=0)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, max_chars=4, overlap=4)
+
+
+def test_chunking_multibyte_boundary_raises(ray_session):
+    # a window boundary through a multi-byte codepoint must fail LOUDLY
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["abcédef"]),  # é = 2 bytes at offset 3
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(Exception):
+        chunk_documents(ds, max_chars=4, overlap=0).to_pandas()
+    # aligned boundaries are fine for the same text
+    ok = chunk_documents(ds, max_chars=5, overlap=0).to_pandas()
+    assert "".join(ok.chunk) == "abcédef"
