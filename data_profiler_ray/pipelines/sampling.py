@@ -8,7 +8,7 @@ SQL-oracle-able and safe to re-run on retries (SURVEY.md §4.1
 idempotency requirement).
 
 - :func:`stratified_sample` — per-key deterministic sample of n rows:
-  the n rows with smallest ``h(id) = (id * 2654435761 + seed) mod 2^32``
+  the n rows with smallest ``h(id) = ((id + seed) * 2654435761) mod 2^32``
   (Knuth multiplicative hash — a fixed pseudo-random permutation of the
   id space). Shape: per-batch local top-n combiner bounds the shuffle to
   ``n × keys`` rows per batch, then ONE small ``groupby(key)`` merge —
@@ -45,11 +45,13 @@ _MOD32 = np.uint64(1) << np.uint64(32)
 
 
 def _hash_ids(ids: np.ndarray, seed: int) -> np.ndarray:
-    """(id * 2654435761 + seed) mod 2^32 in uint64 — identical to DuckDB
-    HUGEINT arithmetic for id < 2^32 (the uint64 product < 2^64 never
-    wraps; the SQL side must cast to HUGEINT, since BIGINT overflows at
-    id > ~3.47e9)."""
-    return (ids.astype(np.uint64) * _KNUTH + np.uint64(seed)) % _MOD32
+    """((id + seed) * 2654435761) mod 2^32 in uint64 — the seed shifts
+    the INPUT so the multiplication diffuses it (an additive post-seed
+    would only rotate every hash by the same constant). Identical to
+    DuckDB HUGEINT arithmetic for id < 2^32 (the uint64 product < 2^64
+    never wraps; the SQL side must cast to HUGEINT, since BIGINT
+    overflows at id > ~3.47e9)."""
+    return ((ids.astype(np.uint64) + np.uint64(seed)) * _KNUTH) % _MOD32
 
 
 def stratified_sample(
@@ -64,7 +66,7 @@ def stratified_sample(
     rows with the smallest id-hash (ties broken by id).
 
     Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY
-    (id * 2654435761 + seed) % 4294967296, id) <= n``.
+    ((id + seed) * 2654435761) % 4294967296, id) <= n``.
     """
 
     def local_topn(batch: pa.Table) -> pa.Table:
@@ -99,6 +101,47 @@ def stratified_sample(
         .sort_values([key_col, id_col])
         .reset_index(drop=True)
     )
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    *,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    denom: int = 10_000,
+) -> ray.data.Dataset:
+    """Deterministic train/valid/test split: append a ``split:string``
+    column chosen by ``h(id) mod denom`` against the cumulative fraction
+    thresholds — every worker, every run, every re-partitioning assigns
+    the same row the same split (the property a training pipeline needs
+    so no example ever leaks across splits between runs).
+
+    ``fractions`` preserves insertion order; the last split absorbs any
+    rounding remainder. Stateless ``map_batches``, no shuffle.
+    Equivalent SQL: ``CASE WHEN ((id+seed)*2654435761)%2^32 % denom < t1
+    THEN 'a' WHEN ... END``.
+    """
+    fractions = fractions or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1.0")
+    names = list(fractions)
+    # integer thresholds: cumulative, last pinned to denom exactly
+    cum, acc = [], 0.0
+    for f in fractions.values():
+        acc += f
+        cum.append(int(round(acc * denom)))
+    cum[-1] = denom
+    bounds = np.array(cum, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        slot = (_hash_ids(ids, seed) % np.uint64(denom)).astype(np.int64)
+        idx = np.searchsorted(bounds, slot, side="right")
+        labels = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def pack_shards(

@@ -994,6 +994,33 @@ def q_type_inference(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment over documents
+    (Knuth-hash thresholds — identical on every run/partitioning)."""
+    from .pipelines.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = hash_split(
+        ds,
+        fractions={"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed=11,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_HASH_SPLIT = """
+SELECT doc_id,
+  CASE WHEN m < 8000 THEN 'train'
+       WHEN m < 9000 THEN 'valid'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    (CAST(doc_id + 11 AS HUGEINT) * 2654435761) % 4294967296 % 10000 AS m
+  FROM documents) t
+ORDER BY doc_id
+"""
+
+
 def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """Overlapping-window chunking of the documents table (320-byte
     windows, 64-byte overlap) — the pre-tokenization flat_map. ASCII
@@ -1051,7 +1078,7 @@ _SQL_STRATIFIED_SAMPLE = """
 SELECT lang, doc_id FROM (
   SELECT lang, doc_id, row_number() OVER (
     PARTITION BY lang
-    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761 + 7) % 4294967296, doc_id) AS rn
+    ORDER BY (CAST(doc_id + 7 AS HUGEINT) * 2654435761) % 4294967296, doc_id) AS rn
   FROM documents) t
 WHERE rn <= 20 ORDER BY lang, doc_id
 """
@@ -1347,6 +1374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_shards": q_pack_shards,
         "neardup_dedup": q_neardup_dedup,
         "chunk_documents": q_chunk_documents,
+        "hash_split": q_hash_split,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1382,5 +1410,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_shards": _SQL_PACK_SHARDS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "hash_split": _SQL_HASH_SPLIT,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -85,3 +85,39 @@ def test_pack_shards_empty_dataset(ray_session):
     )
     out = pack_shards(ray.data.from_arrow(t), size_col="n_chars", budget=100)
     assert out.empty and list(out.columns) == ["doc_id", "shard"]
+
+
+def test_hash_split_deterministic_and_proportional(table, ray_session):
+    from data_profiler_ray.pipelines.sampling import hash_split
+
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(table.select(["doc_id"])).repartition(parts)
+        out = (
+            hash_split(ds, fractions=fr, seed=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    counts = outs[0].split.value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.05
+    assert abs(counts["valid"] - 0.1) < 0.03
+    assert abs(counts["test"] - 0.1) < 0.03
+    # changing the seed reshuffles membership, same proportions
+    other = (
+        hash_split(
+            ray.data.from_arrow(table.select(["doc_id"])), fractions=fr, seed=5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (other.split != outs[0].split).any()
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(
+            ray.data.from_arrow(table.select(["doc_id"])),
+            fractions={"a": 0.5, "b": 0.4},
+        )
