@@ -26,6 +26,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..util import flat_buffer
 
 # Control chars that indicate binary-ish content (excluding \t \n \r).
 _NON_PRINTABLE_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
@@ -51,19 +52,13 @@ def _count_byte_class(content: pa.Array, table: np.ndarray) -> np.ndarray:
     n = len(binary)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-        binary.offset : binary.offset + n + 1
-    ]
-    buf = binary.buffers()[2]
-    if buf is None or offsets[-1] == offsets[0]:
+    offsets, data = flat_buffer(binary)
+    if data.size == 0:
         return np.zeros(n, dtype=np.int64)
-    # operate on the value region only (bounds the last segment exactly
-    # and handles sliced/offset buffers)
-    data = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
     # int32 scratch (not int64): fresh pages fault at ~8 MB/s here, so
     # scratch bytes are the dominant cost. Row byte counts < 2^31 always.
     hits = table[data].astype(np.int32)
-    return segment_reduce(np.add, hits, offsets[:-1] - offsets[0]).astype(np.int64)
+    return segment_reduce(np.add, hits, offsets[:-1]).astype(np.int64)
 
 
 def sha256_hex(arr: pa.Array) -> pa.Array:
@@ -80,13 +75,9 @@ def sha256_hex(arr: pa.Array) -> pa.Array:
     n = len(binary)
     if n == 0:
         return pa.array([], type=pa.string())
-    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-        binary.offset : binary.offset + n + 1
-    ]
-    buf = binary.buffers()[2]
-    view = memoryview(buf) if buf is not None else memoryview(b"")
+    offsets, data = flat_buffer(binary)
     out = [
-        hashlib.sha256(view[offsets[i] : offsets[i + 1]]).hexdigest()
+        hashlib.sha256(data[offsets[i] : offsets[i + 1]]).hexdigest()
         for i in range(n)
     ]
     return pa.array(out, type=pa.string())
@@ -277,16 +268,11 @@ def _segment_hashes(flat: pa.Array) -> np.ndarray:
     n = len(binary)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-        binary.offset : binary.offset + n + 1
-    ]
-    buf = binary.buffers()[2]
+    offsets, region = flat_buffer(binary)
     lens = np.diff(offsets)
-    if buf is None or offsets[-1] == offsets[0]:
+    if region.size == 0:
         return lens.astype(np.uint64)  # all-empty: hash by length (=0)
-    # operate on the value region only (handles sliced/offset buffers)
-    region = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
-    rel_starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    rel_starts = offsets[:-1]
     base = np.uint64(1099511628211)
     max_len = int(lens.max())
     pows = np.empty(max_len, dtype=np.uint64)
@@ -364,14 +350,11 @@ def detect_line_endings(
     if isinstance(binary, pa.ChunkedArray):
         binary = binary.combine_chunks()
     n = len(binary)
-    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-        binary.offset : binary.offset + n + 1
-    ]
-    buf = binary.buffers()[2]
+    offsets, region = flat_buffer(binary)
     lens = np.diff(offsets)
-    size = int(offsets[-1] - offsets[0])
+    size = int(region.size)
     zeros = np.zeros(n, dtype=np.int64)
-    if buf is None or size == 0:
+    if size == 0:
         return pa.table(
             {
                 "style": pa.array(["NONE"] * n, pa.string()),
@@ -382,9 +365,8 @@ def detect_line_endings(
                 "sample_count": pa.array(zeros),
             }
         )
-    region = np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
-    rel_starts = (offsets[:-1] - offsets[0]).astype(np.int64)
-    rel_ends = (offsets[1:] - offsets[0]).astype(np.int64)
+    rel_starts = offsets[:-1]
+    rel_ends = offsets[1:]
     row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
     byte_end = np.repeat(rel_ends, lens)
     idx = np.arange(size, dtype=np.int64)

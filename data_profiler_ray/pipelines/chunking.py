@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
+from ..util import flat_buffer
 
 
 def chunk_documents(
@@ -53,16 +54,8 @@ def chunk_documents(
         if isinstance(binary, pa.ChunkedArray):
             binary = binary.combine_chunks()
         n = len(binary)
-        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-            binary.offset : binary.offset + n + 1
-        ]
-        buf = binary.buffers()[2]
-        region = (
-            np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
-            if buf is not None
-            else np.zeros(0, np.uint8)
-        )
-        starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+        offsets, region = flat_buffer(binary)
+        starts = offsets[:-1]
         lens = np.diff(offsets)
 
         n_chunks = np.maximum(1, -(-lens // stride))
@@ -82,10 +75,16 @@ def chunk_documents(
             + np.repeat(starts[row_rep] + rel_start, chunk_len)
         )
         data = region[gather] if total else np.zeros(0, np.uint8)
+        # py_buffer wraps the numpy arrays zero-copy (a .tobytes() here
+        # would double peak memory for the already-inflated chunk bytes)
         chunks_bin = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(),
             len(row_rep),
-            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data.tobytes())],
+            [
+                None,
+                pa.py_buffer(np.ascontiguousarray(out_off)),
+                pa.py_buffer(np.ascontiguousarray(data)),
+            ],
         )
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table(

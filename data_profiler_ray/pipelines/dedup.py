@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..util import from_pandas_clean
+from ..util import flat_buffer, from_pandas_clean
 from ray.data.aggregate import Count, Min, Sum
 
 
@@ -40,15 +40,11 @@ def _sha64(arr: pa.Array) -> np.ndarray:
     n = len(binary)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-        binary.offset : binary.offset + n + 1
-    ]
-    buf = binary.buffers()[2]
-    view = memoryview(buf) if buf is not None else memoryview(b"")
+    offsets, data = flat_buffer(binary)
     return np.array(
         [
             int.from_bytes(
-                hashlib.sha256(view[offsets[i] : offsets[i + 1]]).digest()[:8],
+                hashlib.sha256(data[offsets[i] : offsets[i + 1]]).digest()[:8],
                 "big",
             )
             for i in range(n)

@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+from ..util import flat_buffer
 
 _LOG = logging.getLogger(__name__)
 
@@ -200,15 +201,7 @@ class MinHasher:
         sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         if n == 0:
             return sigs
-        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-            binary.offset : binary.offset + n + 1
-        ]
-        data_buf = binary.buffers()[2]
-        data = (
-            np.frombuffer(data_buf, dtype=np.uint8)
-            if data_buf is not None
-            else np.zeros(0, dtype=np.uint8)
-        )
+        offsets, data = flat_buffer(binary)
         lens = np.diff(offsets)
         n_win = np.maximum(lens - n_gram + 1, 0)
         short = np.flatnonzero(lens < n_gram)

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..util import from_pandas_clean
+from ..util import flat_buffer, from_pandas_clean
 
 from ..config import DEFAULT_PII, DEFAULT_THRESHOLDS, FilterThresholds, PIIConfig
 from ..functions.text_metrics import (
@@ -77,13 +77,9 @@ def _sha_projection(batch: pa.Table) -> pa.Table:
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     n = len(content)
-    offsets = np.frombuffer(content.buffers()[1], dtype=np.int64)[
-        content.offset : content.offset + n + 1
-    ]
-    buf = content.buffers()[2]
-    view = memoryview(buf) if buf is not None else memoryview(b"")
+    offsets, data = flat_buffer(content)
     digests = b"".join(
-        hashlib.sha256(view[offsets[i] : offsets[i + 1]]).digest()[:16]
+        hashlib.sha256(data[offsets[i] : offsets[i + 1]]).digest()[:16]
         for i in range(n)
     )
     mat = (

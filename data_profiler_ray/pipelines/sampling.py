@@ -44,6 +44,19 @@ _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(1) << np.uint64(32)
 
 
+def _ids_array(col) -> np.ndarray:
+    """Non-null int64 ids from an Arrow column — raises on nulls (a null
+    id would NaN-poison the hash/order and break determinism)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"sampling operators require non-null ids "
+            f"({col.null_count} null of {len(col)})"
+        )
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _hash_ids(ids: np.ndarray, seed: int) -> np.ndarray:
     """((id + seed) * 2654435761) mod 2^32 in uint64 — the seed shifts
     the INPUT so the multiplication diffuses it (an additive post-seed
@@ -70,7 +83,7 @@ def stratified_sample(
     """
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = _ids_array(batch[id_col])
         df = pd.DataFrame(
             {
                 key_col: batch[key_col].to_numpy(zero_copy_only=False),
@@ -122,9 +135,10 @@ def hash_split(
     Equivalent SQL: ``CASE WHEN ((id+seed)*2654435761)%2^32 % denom < t1
     THEN 'a' WHEN ... END``.
     """
-    fractions = fractions or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if fractions is None:
+        fractions = {"train": 0.98, "valid": 0.01, "test": 0.01}
     if not fractions or abs(sum(fractions.values()) - 1.0) > 1e-9:
-        raise ValueError("fractions must sum to 1.0")
+        raise ValueError("fractions must be non-empty and sum to 1.0")
     names = list(fractions)
     # integer thresholds: cumulative, last pinned to denom exactly
     cum, acc = [], 0.0
@@ -135,7 +149,7 @@ def hash_split(
     bounds = np.array(cum, dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = _ids_array(batch[id_col])
         slot = (_hash_ids(ids, seed) % np.uint64(denom)).astype(np.int64)
         idx = np.searchsorted(bounds, slot, side="right")
         labels = np.array(names, dtype=object)[idx]

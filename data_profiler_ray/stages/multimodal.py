@@ -86,7 +86,10 @@ def parse_jpeg_size(payload: bytes) -> tuple[int, int] | None:
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             return None
-        if 0xD0 <= marker <= 0xD8 or marker == 0x01 or marker == 0xFF:
+        if marker == 0xFF:
+            pos += 1  # fill byte (spec-legal padding) — next byte may
+            continue  # itself be the real marker
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
             pos += 2  # standalone markers have no length field
             continue
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -120,7 +123,7 @@ def parse_wav_meta(payload: bytes) -> dict | None:
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if cid == b"fmt " and pos + 24 <= n:
+        if cid == b"fmt " and size >= 16 and pos + 24 <= n:
             channels, sample_rate, byte_rate = struct.unpack(
                 "<HII", payload[pos + 10 : pos + 20]
             )

@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.synthetic import LANGS, _clean_content
+from ..util import flat_buffer
 
 _TRI_BUCKETS = 1 << 16  # hashed byte-trigram feature space
 _LANGID_TRAIN_SEED = 424243  # never used by any eval/test corpus seed
@@ -140,15 +141,7 @@ class LangIDScorer:
         if n == 0:
             out = batch.append_column("lang_pred", pa.array([], pa.string()))
             return out.append_column("lang_conf", pa.array([], pa.float64()))
-        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-            binary.offset : binary.offset + n + 1
-        ]
-        data_buf = binary.buffers()[2]
-        data = (
-            np.frombuffer(data_buf, dtype=np.uint8)
-            if data_buf is not None
-            else np.zeros(0, dtype=np.uint8)
-        )
+        offsets, data = flat_buffer(binary)
         lens = np.diff(offsets)
         n_tri = np.maximum(lens - 2, 0)
         k = len(self.langs)
@@ -270,16 +263,7 @@ class PerplexityScorer:
             binary = binary.combine_chunks()
         if len(binary) == 0:
             return batch.append_column("perplexity", pa.array([], pa.float64()))
-        # zero-copy views of the values + offsets buffers
-        offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
-            binary.offset : binary.offset + len(binary) + 1
-        ]
-        data_buf = binary.buffers()[2]
-        data = (
-            np.frombuffer(data_buf, dtype=np.uint8)
-            if data_buf is not None
-            else np.zeros(0, dtype=np.uint8)
-        )
+        offsets, data = flat_buffer(binary)
         n = len(binary)
         lens = np.diff(offsets)
 

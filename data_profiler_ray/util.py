@@ -2,8 +2,35 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def flat_buffer(binary: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy ``(offsets, data)`` views of a COMBINED (non-chunked)
+    large_binary / large_string array: ``offsets`` is int64[n+1]
+    normalized to start at 0, ``data`` is the uint8 value region those
+    offsets index — sliced/offset arrays are handled uniformly (the
+    canonical extraction every flat-buffer kernel in this repo shares;
+    the one hold-out is ``utf8_validity``, whose bisect-on-failure logic
+    keeps absolute offsets deliberately).
+
+    Row ``i``'s bytes are ``data[offsets[i]:offsets[i+1]]`` (a numpy
+    slice supports the buffer protocol, so hashlib etc. take it
+    directly).
+    """
+    n = len(binary)
+    offsets = np.frombuffer(binary.buffers()[1], dtype=np.int64)[
+        binary.offset : binary.offset + n + 1
+    ]
+    buf = binary.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+        if buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return (offsets - offsets[0]).astype(np.int64), data
 
 
 def tune_context() -> None:
