@@ -221,3 +221,38 @@ def test_detect_line_endings_matches_reference(payloads, sample_size, quoted):
         assert mine["cr_count"][i].as_py() == ref.cr_count, ctx
         assert mine["style"][i].as_py() == ref.original_style, ctx
         assert mine["mixed"][i].as_py() == ref.mixed, ctx
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.binary(max_size=30), st.text(max_size=20).map(lambda t: t.encode())),
+        max_size=6,
+    )
+)
+def test_decode_binary_content_matches_python(payloads):
+    """Fuzz the binary-ingestion front-end: validity flags must match
+    Python's strict decoder, decoded content must equal the
+    replacement-char decode, and valid rows must round-trip exactly."""
+    import pyarrow as pa
+
+    from data_profiler_ray.functions.text_metrics import decode_binary_content
+
+    t = pa.table(
+        {
+            "content": pa.array(payloads, pa.large_binary()),
+            "row": pa.array(range(len(payloads)), pa.int64()),
+        }
+    )
+    out = decode_binary_content(t)
+    for i, p in enumerate(payloads):
+        try:
+            expect = p.decode("utf-8")
+            expect_valid = True
+        except UnicodeDecodeError:
+            expect = p.decode("utf-8", "replace")
+            expect_valid = False
+        assert out["utf8_valid"][i].as_py() == expect_valid, p
+        assert out["content"][i].as_py() == expect, p
+        off = out["utf8_error_offset"][i].as_py()
+        assert (off == -1) == expect_valid, p
