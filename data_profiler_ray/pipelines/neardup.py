@@ -647,6 +647,11 @@ def neardup_dedup(
       row outside any cluster is its own representative);
     - ``near_dup_keep:bool`` — True for representatives and singletons.
 
+    CONTRACT: ``id_col`` must be a unique integer column (int64 domain)
+    — clusters are keyed and broadcast as int64 arrays and looked up via
+    ``searchsorted``. String/float ids raise ``ValueError`` here rather
+    than an opaque cast error inside a Ray worker.
+
     Shape: the pair phase is the documented LSH pipeline (salted
     buckets; see the :func:`_salted_pair_indices` recall caveat — a
     thresholded edge path must survive for union-find to span a
@@ -655,6 +660,13 @@ def neardup_dedup(
     proportional to duplicates, not corpus — broadcast once via
     ``ray.put`` and applied in a stateless ``map_batches`` (J2 pattern).
     """
+    id_field = ds.schema().base_schema.field(id_col)
+    if not pa.types.is_integer(id_field.type):
+        raise ValueError(
+            f"neardup_dedup requires an integer id column; "
+            f"{id_col!r} is {id_field.type} (see the int64-unique-id "
+            "contract in the docstring)"
+        )
     if method == "minhash":
         pairs = ngram_jaccard_dedup(
             ds, threshold=threshold, text_col=text_col, id_col=id_col, **kwargs

@@ -76,32 +76,34 @@ def stratified_sample(
     seed: int = 0,
 ) -> pd.DataFrame:
     """Deterministic stratified sample: for each key, the ``n_per_key``
-    rows with the smallest id-hash (ties broken by id).
+    rows with the smallest id-hash (ties broken by id). ALL input columns
+    are carried through to the sampled rows (project with
+    ``select_columns`` upstream if only the key/id are wanted — the
+    shuffle ships whole sampled rows).
 
     Equivalent SQL: ``row_number() OVER (PARTITION BY key ORDER BY
     ((id + seed) * 2654435761) % 4294967296, id) <= n``.
     """
+    hcol = "__dpr_h__"
+    if hcol in ds.schema().names:
+        raise ValueError(f"input must not contain reserved column {hcol!r}")
 
     def local_topn(batch: pa.Table) -> pa.Table:
         ids = _ids_array(batch[id_col])
-        df = pd.DataFrame(
-            {
-                key_col: batch[key_col].to_numpy(zero_copy_only=False),
-                id_col: ids,
-                # int64: h < 2^32 by construction; uint64 would force a
-                # schema-unifying copy in the groupby
-                "h": _hash_ids(ids, seed).astype(np.int64),
-            }
-        )
+        df = batch.to_pandas()
+        df[id_col] = ids
+        # int64: h < 2^32 by construction; uint64 would force a
+        # schema-unifying copy in the groupby
+        df[hcol] = _hash_ids(ids, seed).astype(np.int64)
         out = (
-            df.sort_values(["h", id_col])
+            df.sort_values([hcol, id_col])
             .groupby(key_col, sort=False)
             .head(n_per_key)
         )
         return from_pandas_clean(out)
 
     def merge_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["h", id_col]).head(n_per_key)
+        return g.sort_values([hcol, id_col]).head(n_per_key)
 
     out = (
         ds.map_batches(local_topn, batch_format="pyarrow")
@@ -110,7 +112,7 @@ def stratified_sample(
         .to_pandas()
     )
     return (
-        out.drop(columns=["h"])
+        out.drop(columns=[hcol])
         .sort_values([key_col, id_col])
         .reset_index(drop=True)
     )

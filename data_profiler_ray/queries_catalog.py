@@ -1075,7 +1075,7 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
 # operator's documented id < 2^32 domain (numpy uint64 wraps only past
 # 2^64, so the two stay identical across the whole domain)
 _SQL_STRATIFIED_SAMPLE = """
-SELECT lang, doc_id FROM (
+SELECT doc_id, lang FROM (
   SELECT lang, doc_id, row_number() OVER (
     PARTITION BY lang
     ORDER BY (CAST(doc_id + 7 AS HUGEINT) * 2654435761) % 4294967296, doc_id) AS rn
@@ -1095,9 +1095,9 @@ def q_pack_shards(sf_dir: str) -> pd.DataFrame:
 
 _SQL_PACK_SHARDS = """
 SELECT doc_id,
-  coalesce(sum(n_chars) OVER (
+  CAST(coalesce(sum(n_chars) OVER (
     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-  // 50000 AS shard
+  // 50000 AS BIGINT) AS shard
 FROM documents ORDER BY doc_id
 """
 

@@ -104,6 +104,13 @@ def _warm_lazy_imports() -> None:
     pin a benign stub module so later imports are cache hits rather than
     repeated racy re-imports. The stub's only consumer is an
     ``isinstance`` check that is correctly False for local filesystems.
+
+    CAVEAT: the stub stays in ``sys.modules`` for the process lifetime,
+    so in an aiohttp-less environment ``http://`` dataset paths are
+    unsupported — code that imports this module for real HTTP work gets
+    the sentinel (tagged ``__dpr_stub__ = True`` so it is detectable)
+    instead of a ``ModuleNotFoundError``. With ``aiohttp`` installed the
+    real module wins and nothing is stubbed.
     """
     try:
         import fsspec.implementations.http  # noqa: F401
@@ -117,6 +124,7 @@ def _warm_lazy_imports() -> None:
             pass
 
         mod.HTTPFileSystem = HTTPFileSystem
+        mod.__dpr_stub__ = True  # marker: not the real fsspec http module
         sys.modules["fsspec.implementations.http"] = mod
 
 

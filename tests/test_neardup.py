@@ -321,3 +321,13 @@ def test_embedding_bruteforce_no_pairs_returns_typed_empty(emb):
     out = embedding_near_dup_bruteforce(ds, tau=1.1)  # impossible threshold
     assert out.empty
     assert list(out.columns) == ["id_a", "id_b", "cosine"]
+
+
+def test_neardup_dedup_rejects_string_ids(ray_session):
+    from data_profiler_ray.pipelines.neardup import neardup_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(["a", "b"]), "text": pa.array(["x", "y"])})
+    )
+    with pytest.raises(ValueError, match="integer id column"):
+        neardup_dedup(ds, text_col="text", id_col="doc_id")

@@ -94,8 +94,12 @@ def test_round_away_matches_decimal_half_up(x, n):
         Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
     )
     # float representation noise can flip a .5 boundary seen by Decimal
-    # vs binary float; accept exact match or one ulp of the quantum
-    assert abs(got - want) <= 10.0 ** (-n) + 1e-12
+    # vs binary float, so the results may differ by one quantum (10**-n).
+    # Compare in quantum units rather than absolute distance: at
+    # |x| ~ 1e9 with n=6, x*10**n sits where float64 spacing is 0.125,
+    # so an absolute bound like 10**-n + 1e-12 is ulp-blind and flakes
+    # on legitimately-one-quantum-apart results (r3 verdict #2).
+    assert abs(round((got - want) * 10.0**n)) <= 1
 
 
 @settings(max_examples=60, deadline=None)

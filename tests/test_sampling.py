@@ -35,15 +35,17 @@ def table():
 def test_stratified_sample_matches_bruteforce(table, ray_session):
     df = table.to_pandas()
     df["h"] = _hash_ids(df.doc_id.to_numpy(), 3)
+    # all input columns carry through in input order (ADVICE r3: the
+    # combiner must not project away non-key payload columns)
     want = (
         df.sort_values(["h", "doc_id"])
         .groupby("lang", sort=False)
-        .head(7)[["lang", "doc_id"]]
+        .head(7)[["doc_id", "lang", "n_chars"]]
         .sort_values(["lang", "doc_id"])
         .reset_index(drop=True)
     )
     for parts in (1, 5):
-        ds = ray.data.from_arrow(table.select(["doc_id", "lang"])).repartition(parts)
+        ds = ray.data.from_arrow(table).repartition(parts)
         got = stratified_sample(ds, key_col="lang", n_per_key=7, seed=3)
         pd.testing.assert_frame_equal(got, want)
 
@@ -121,3 +123,10 @@ def test_hash_split_deterministic_and_proportional(table, ray_session):
             ray.data.from_arrow(table.select(["doc_id"])),
             fractions={"a": 0.5, "b": 0.4},
         )
+
+
+def test_stratified_sample_rejects_reserved_column(table, ray_session):
+    t = table.append_column("__dpr_h__", table["n_chars"])
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="reserved column"):
+        stratified_sample(ds, key_col="lang", n_per_key=3)
