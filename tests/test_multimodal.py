@@ -52,9 +52,14 @@ def test_stub_features_deterministic():
 
 
 def test_strict_stub_raises():
-    table = synth_media_table(2)
+    # rows 0/1 are PNG/WAV (both REAL decoders now) — row 2 is the JPEG,
+    # the remaining stubbed type, which strict mode must refuse to fake
+    table = synth_media_table(3)
     with pytest.raises(NotImplementedError, match="stub"):
         MediaDecodeStage(strict=True)(table)
+    # PNG+WAV alone pass strict mode
+    out = MediaDecodeStage(strict=True)(table.slice(0, 2))
+    assert out["decode_ok"].to_pylist() == [True, True]
 
 
 def test_media_pipeline_ray(ray_session):
@@ -264,3 +269,93 @@ def test_stage_emits_duration_for_wav(ray_session):
             assert d is not None and d > 0
         else:
             assert d is None
+
+
+# ---------------------------------------------------------------------------
+# real WAV audio features (r3 verdict item #5)
+# ---------------------------------------------------------------------------
+
+def _sine_wav(freq=1250, sr=8000, secs=1.0, amp=0.5, bits=16, channels=1):
+    import struct
+
+    n = int(sr * secs)
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    if bits == 16:
+        pcm = (x * 32767).astype("<i2")
+    else:
+        pcm = ((x * 127) + 128).astype(np.uint8)
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1)
+    raw = pcm.tobytes()
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * block, block, bits)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_audio_features_sine_wave():
+    """A pure tone decodes to ANALYTICALLY KNOWN features: RMS=amp/sqrt(2),
+    ZCR=2f/sr, and ALL spectral energy in the bin containing f (1250 Hz of
+    an 8 kHz/1 s window is an integer cycle count -> no leakage)."""
+    from data_profiler_ray.stages.multimodal import wav_audio_features
+
+    vec = wav_audio_features(_sine_wav())
+    want = np.zeros(64, dtype=np.float64)
+    want[0] = 0.5 / np.sqrt(2)        # RMS
+    want[1] = 2 * 1250 / 8000         # zero-crossing rate
+    # Nyquist 4000 Hz over 8 equal bins -> 1250 Hz is in bin 2 (1001-1500)
+    want[2 + 2] = 1.0
+    want /= np.linalg.norm(want)
+    assert np.allclose(vec, want, atol=0.02)
+    assert abs(np.linalg.norm(vec) - 1.0) < 1e-5
+
+
+def test_wav_audio_features_8bit_and_stereo():
+    from data_profiler_ray.stages.multimodal import wav_audio_features
+
+    v16 = wav_audio_features(_sine_wav(bits=16))
+    v8 = wav_audio_features(_sine_wav(bits=8))
+    vst = wav_audio_features(_sine_wav(channels=2))
+    # same signal through every encoding: features agree to quantization
+    assert np.allclose(v16, v8, atol=0.03)
+    assert np.allclose(v16, vst, atol=1e-4)
+
+
+def test_wav_audio_features_rejects_non_pcm():
+    import struct
+
+    from data_profiler_ray.stages.multimodal import wav_audio_features
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float format
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    with pytest.raises(ValueError, match="integer-PCM"):
+        wav_audio_features(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_stage_wav_features_real_and_null_payloads(ray_session):
+    """decode_ok=True for WAV with NON-fake features; null payload rows
+    flow through as octet-stream with ok=True fake features."""
+    from data_profiler_ray.stages.multimodal import MediaDecodeStage
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([_sine_wav(), None], pa.large_binary()),
+        }
+    )
+    out = MediaDecodeStage()(t)
+    assert out["media_type"].to_pylist() == [
+        "audio/wav",
+        "application/octet-stream",
+    ]
+    assert out["decode_ok"].to_pylist() == [True, True]
+    assert out["media_duration_ms"].to_pylist()[0] == 1000
+    feat = np.array(out["media_features"].to_pylist()[0])
+    assert abs(feat[0] / feat[1] - (0.5 / np.sqrt(2)) / 0.3125) < 0.05
