@@ -7,6 +7,13 @@ over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 --scaling: run the headline job in two fresh processes at num_cpus=8 and
 num_cpus=32 on the same input and report both rates + scaling efficiency
 (the sandbox substitute for the N vs 4N cluster criterion — SURVEY.md §4.2).
+--scaling3: three flagship/control scaling pairs back-to-back, median
+flagship/control efficiency ratio (the r4 measurement protocol).
+
+Memory evidence: the default run reports peak RSS (driver getrusage +
+a /proc sampler summing ray:: worker RSS) for the flagship and the two
+most expensive queries, mirroring the reference's asserted memory
+bounds (api/tests/performance/test_large_files.py:113,244).
 """
 
 from __future__ import annotations
@@ -15,11 +22,74 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "240000"))
+
+_PAGE_KB = os.sysconf("SC_PAGE_SIZE") // 1024
+
+
+class RssSampler:
+    """Peak-memory witness for the streaming claim (mirrors the
+    reference's asserted bounds, api/tests/performance/
+    test_large_files.py:113,244): a background thread samples, every
+    0.25 s, the summed RSS of all Ray worker processes (``/proc/*/comm``
+    starting ``ray::`` — the setproctitle Ray gives executing workers)
+    plus this driver. RSS counts plasma's shared /dev/shm mappings once
+    PER MAPPING process, so the worker sum is an upper bound; the driver
+    number is exact (``getrusage`` max-RSS is reported separately at
+    exit). No psutil in this container — plain /proc scan."""
+
+    def __init__(self) -> None:
+        self.peak_kb = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _sample_kb(self) -> int:
+        total = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm", "rb") as f:
+                    if not f.read().startswith(b"ray::"):
+                        continue
+                with open(f"/proc/{pid}/statm") as f:
+                    total += int(f.read().split()[1]) * _PAGE_KB
+            except OSError:
+                continue  # process exited mid-scan
+        try:
+            with open(f"/proc/{os.getpid()}/statm") as f:
+                total += int(f.read().split()[1]) * _PAGE_KB
+        except OSError:
+            pass
+        return total
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self.peak_kb = max(self.peak_kb, self._sample_kb())
+            self._stop.wait(0.25)
+
+    def __enter__(self) -> "RssSampler":
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join(timeout=2)
+
+    @property
+    def peak_mb(self) -> float:
+        return round(self.peak_kb / 1024, 1)
+
+
+def _driver_max_rss_mb() -> float:
+    import resource
+
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
 
 
 def _init_ray():
@@ -79,15 +149,17 @@ def bench_flagship() -> dict:
     # cold run includes actor spawn + first-touch page faults (this
     # sandbox kernel faults at ~8 MB/s); steady run is the amortized
     # throughput a long job sees. Both reported.
-    cold = one_run("cold")
-    # steady-state: best of 3 (the sandbox shows high run-to-run variance;
-    # min wall time = least external interference)
-    steady = min(one_run(f"steady{i}") for i in range(3))
+    with RssSampler() as rss:
+        cold = one_run("cold")
+        # steady-state: best of 3 (the sandbox shows high run-to-run
+        # variance; min wall time = least external interference)
+        steady = min(one_run(f"steady{i}") for i in range(3))
     return {
         "flagship_sec": round(steady, 3),
         "flagship_cold_sec": round(cold, 3),
         "files": CORPUS_FILES,
         "files_per_sec": round(CORPUS_FILES / steady, 1),
+        "flagship_peak_rss_mb": rss.peak_mb,
     }
 
 
@@ -112,20 +184,42 @@ def bench_queries() -> dict:
         "stratified_sample",
         "pack_shards",
         "minhash_near_dup",
+        "neardup_dedup",
     ]
+    # peak-RSS is sampled for the two historically most expensive
+    # queries (r3 verdict item #7 — streaming-memory evidence)
+    rss_tracked = {"minhash_near_dup", "duplicate_top_groups"}
     # first run matches the round-1 protocol (single pass, cold-ish
     # worker arenas); the second run is the steady-state number a long
     # job sees on this page-fault-bound sandbox. Both are reported.
     out = {}
     steady = {}
+    extra = {}
     for name in picked:
         t0 = time.perf_counter()
-        qs[name](SF_DIR)
+        res = qs[name](SF_DIR)
         out[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs[name](SF_DIR)
-        steady[name] = round(time.perf_counter() - t0, 3)
-    return out, steady
+        if name == "neardup_dedup":
+            # log cluster/dup counts so a recall regression in the
+            # oracle-less LSH path is visible round-over-round (r3
+            # verdict item #9)
+            dup = res[~res["near_dup_keep"]]
+            extra["neardup_dedup_rows"] = int(len(res))
+            extra["neardup_dedup_dups"] = int(len(dup))
+            extra["neardup_dedup_clusters"] = int(
+                dup["near_dup_cluster"].nunique()
+            )
+        if name in rss_tracked:
+            with RssSampler() as rss:
+                t0 = time.perf_counter()
+                qs[name](SF_DIR)
+                steady[name] = round(time.perf_counter() - t0, 3)
+            extra[f"{name}_peak_rss_mb"] = rss.peak_mb
+        else:
+            t0 = time.perf_counter()
+            qs[name](SF_DIR)
+            steady[name] = round(time.perf_counter() - t0, 3)
+    return out, steady, extra
 
 
 def bench_control() -> dict:
@@ -154,7 +248,7 @@ def bench_control() -> dict:
     return {"control_sec": round(sec, 3), "control_files_per_sec": round(CORPUS_FILES / sec, 1)}
 
 
-def run_scaling(mode: str = "--headline-only") -> dict:
+def run_scaling(mode: str = "--headline-only", quiet: bool = False) -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         res = subprocess.run(
@@ -183,11 +277,54 @@ def run_scaling(mode: str = "--headline-only") -> dict:
         "scaling_efficiency": round(eff, 3),
         "files": CORPUS_FILES,
     }
+    if not quiet:
+        print(json.dumps(out))
+    return out
+
+
+def run_scaling3() -> dict:
+    """r3 verdict item #6: THREE flagship/control pairs back-to-back in
+    one session; report raw efficiencies, per-pair flagship/control
+    ratios, and the MEDIAN ratio (single pairs are too noisy on this
+    sandbox — the control itself swung 0.38–0.71 within hours in r3)."""
+    import statistics
+
+    pairs = []
+    for i in range(3):
+        flag = run_scaling(quiet=True)
+        ctrl = run_scaling("--control-only", quiet=True)
+        ratio = round(
+            flag["scaling_efficiency"] / ctrl["scaling_efficiency"], 3
+        )
+        pairs.append(
+            {
+                "pair": i + 1,
+                "flagship_eff": flag["scaling_efficiency"],
+                "control_eff": ctrl["scaling_efficiency"],
+                "ratio": ratio,
+                "flagship_files_per_sec_32": flag["files_per_sec_32"],
+                "control_files_per_sec_32": ctrl["files_per_sec_32"],
+            }
+        )
+    out = {
+        "metric": "scaling best-of-3 pairs (flagship/control eff ratio)",
+        "pairs": pairs,
+        "median_ratio": round(
+            statistics.median(p["ratio"] for p in pairs), 3
+        ),
+        "median_flagship_eff": round(
+            statistics.median(p["flagship_eff"] for p in pairs), 3
+        ),
+        "files": CORPUS_FILES,
+    }
     print(json.dumps(out))
     return out
 
 
 def main() -> None:
+    if "--scaling3" in sys.argv:
+        run_scaling3()
+        return
     if "--scaling" in sys.argv:
         run_scaling()
         return
@@ -214,9 +351,12 @@ def main() -> None:
         "files": flag["files"],
         "files_per_sec": flag["files_per_sec"],
         "flagship_sec": flag["flagship_sec"],
+        "flagship_peak_rss_mb": flag["flagship_peak_rss_mb"],
     }
     if "--headline-only" not in sys.argv:
-        result["queries"], result["queries_steady"] = bench_queries()
+        result["queries"], result["queries_steady"], extra = bench_queries()
+        result.update(extra)
+    result["driver_max_rss_mb"] = _driver_max_rss_mb()
     print(json.dumps(result))
     ray.shutdown()
 
