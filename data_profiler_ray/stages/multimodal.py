@@ -4,9 +4,11 @@ Task-brief contract: the Ray-side plumbing (schema, batch sizing, actor
 signature, output layout) is REAL and tested. PNG decode is REAL —
 a pure-stdlib (zlib) implementation of the public PNG spec
 (:func:`decode_png`: chunk walk, IDAT inflate, per-scanline unfilter,
-palette expansion) feeding 8x8-thumbnail pixel features — and so is
-integer-PCM WAV (:func:`wav_audio_features`: RMS / zero-crossing-rate /
-8-bin spectral profile straight off ``np.frombuffer`` + ``np.fft``).
+palette expansion) feeding 8x8-thumbnail pixel features — and so are
+GIF (:func:`decode_gif`: pure-Python GIF-variant LZW, palette expansion,
+de-interlace, per the public GIF89a spec) and integer-PCM WAV
+(:func:`wav_audio_features`: RMS / zero-crossing-rate / 8-bin spectral
+profile straight off ``np.frombuffer`` + ``np.fft``).
 The remaining types (JPEG/video entropy decode) stay stubbed behind
 clearly-marked hooks because the container has no media libraries
 (PIL/cv2/torchaudio); swapping in a real decoder is a one-method change.
@@ -300,6 +302,136 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, npx: int) -> np.ndarray:
+    """GIF-variant LZW decode (public GIF89a spec, appendix F): variable
+    code width starting at ``min_code_size + 1`` bits (LSB-first packing),
+    clear code ``2^mcs``, end-of-information ``2^mcs + 1``, dictionary
+    capped at 4096 (deferred-clear allowed). Returns ``npx`` palette
+    indices. Inherently sequential — a Python loop over codes, same
+    thumbnail-scale argument as the PNG Sub/Paeth scanlines."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    ndata = len(data)
+    while len(out) < npx:
+        while nbits < code_size:
+            if pos >= ndata:
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(roots)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < npx:
+        raise ValueError("LZW stream ended early")
+    return np.frombuffer(bytes(out[:npx]), dtype=np.uint8)
+
+
+# GIF interlace passes: row start/step per pass (spec appendix E)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decode — public GIF87a/89a spec: logical screen
+    descriptor, global/local color table, extension-block skip, first
+    image frame through :func:`_gif_lzw_decode`, palette expansion,
+    de-interlace. Returns an (h, w, 3) uint8 array of the FIRST frame
+    (animation frames beyond it are metadata, not features). Raises
+    ``ValueError`` on corrupt/truncated input — callers treat that as
+    decode failure."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    pos = 13  # header (6) + logical screen descriptor (7)
+    packed = payload[10]
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * ncol], np.uint8)
+        if gct.size < 3 * ncol:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * ncol
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + len-prefixed sub-blocks
+            pos += 2
+            while pos < n and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > n:
+            raise ValueError("truncated image descriptor")
+        _, _, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        lct = gct
+        if ipacked & 0x80:
+            ncol = 2 << (ipacked & 0x07)
+            lct = np.frombuffer(payload[pos : pos + 3 * ncol], np.uint8)
+            if lct.size < 3 * ncol:
+                raise ValueError("truncated local color table")
+            lct = lct.reshape(-1, 3)
+            pos += 3 * ncol
+        if lct is None:
+            raise ValueError("image without any color table")
+        if pos >= n:
+            raise ValueError("missing LZW min code size")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < n and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if iw == 0 or ih == 0:
+            raise ValueError("empty image frame")
+        idx = _gif_lzw_decode(bytes(data), mcs, iw * ih).reshape(ih, iw)
+        if int(idx.max()) >= len(lct):
+            raise ValueError("palette index out of range")
+        if ipacked & 0x40:  # interlaced: rows were stored in pass order
+            order = np.concatenate(
+                [np.arange(start, ih, step) for start, step in _GIF_INTERLACE]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        return lct[idx]
+    raise ValueError("no image frame found")
+
+
 # Rec. 601 luma weights — the standard grayscale projection
 _LUMA = np.array([0.299, 0.587, 0.114])
 
@@ -346,9 +478,9 @@ class MediaDecodeStage:
     num_cpus=1, batch_format="pyarrow")``.
 
     The decode hook is :meth:`_decode_features`: REAL for ``image/png``
-    (stdlib decode -> pixel thumbnail features) and ``audio/wav``
-    (:func:`wav_audio_features`: RMS / zero-crossing / spectral bins from
-    the PCM samples); for other media types the default is a
+    and ``image/gif`` (stdlib decode -> pixel thumbnail features) and
+    ``audio/wav`` (:func:`wav_audio_features`: RMS / zero-crossing /
+    spectral bins from the PCM samples); for other media types the default is a
     DETERMINISTIC FAKE (sha256-seeded pseudo-features) so the full
     pipeline — schema, batching, actor lifecycle, output layout — runs
     and is testable without media libraries. Subclasses with a real
@@ -358,7 +490,7 @@ class MediaDecodeStage:
     the Arrow value buffer).
     """
 
-    REAL_TYPES = frozenset({"image/png", "audio/wav"})
+    REAL_TYPES = frozenset({"image/png", "image/gif", "audio/wav"})
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
         self.payload_col = payload_col
@@ -370,11 +502,14 @@ class MediaDecodeStage:
     # ------------------------------------------------------------------
     def _decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
         """REAL decode for the types in ``REAL_TYPES``; called only for
-        those (plus subclass additions). PNG -> stdlib-zlib
-        :func:`decode_png` -> 8x8 grayscale-thumbnail pixel features;
-        WAV -> :func:`wav_audio_features` PCM features."""
+        those (plus subclass additions). PNG/GIF -> stdlib
+        :func:`decode_png` / :func:`decode_gif` -> 8x8
+        grayscale-thumbnail pixel features; WAV ->
+        :func:`wav_audio_features` PCM features."""
         if media_type == "image/png":
             return png_pixel_features(decode_png(payload))
+        if media_type == "image/gif":
+            return png_pixel_features(decode_gif(payload))
         if media_type == "audio/wav":
             return wav_audio_features(payload)
         raise NotImplementedError(
@@ -511,14 +646,81 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, *, interlace: bool = False
+) -> bytes:
+    """Minimal GIF89a encoder (public spec) — synth/test helper and the
+    round-trip witness for :func:`decode_gif`. ``idx`` is an (h, w) uint8
+    palette-index array, ``palette`` an (n<=256, 3) uint8 color table.
+
+    Compression-free LZW stream: a CLEAR code precedes every pixel code,
+    so the decoder's dictionary never grows and every code stays at
+    ``min_code_size + 1`` bits — spec-valid (deferred/eager clears are
+    explicitly allowed), trivially correct, and size-inefficient, which
+    is fine for a witness."""
+    h, w = idx.shape
+    ncol = len(palette)
+    if ncol > 256 or int(idx.max(initial=0)) >= ncol:
+        raise ValueError("palette too large or index out of range")
+    # color-table sizes are powers of two >= 4 (mcs >= 2 per spec)
+    bits = max(2, int(np.ceil(np.log2(max(ncol, 2)))))
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:ncol] = palette
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    imgdesc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    mcs = bits
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+        )
+        rows = idx[order]  # store rows in pass order
+    stream = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    for px in rows.reshape(-1):
+        emit(clear)
+        emit(int(px))
+    emit(end)
+    if nbits:
+        stream.append(bitbuf & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        b"GIF89a"
+        + lsd
+        + full.tobytes()
+        + imgdesc
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+
+
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus: tiny REAL decodable PNGs (random
-    RGB pixels via :func:`encode_png`) + WAV/JPEG magic payloads with
-    random tails (sniffable, not decodable)."""
+    """Deterministic fake media corpus: tiny REAL decodable PNGs and GIFs
+    (random pixels via :func:`encode_png` / :func:`encode_gif`) + WAV
+    payloads with real fmt/data chunks + JPEG magic payloads with random
+    tails (sniffable, not decodable)."""
     rng = np.random.default_rng(seed)
     payloads, ids = [], []
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         tail = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
         if kind == 0:  # real decodable PNG
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
@@ -534,8 +736,14 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
                 + b"data" + struct.pack("<I", len(tail)) + tail
             )
             payload = b"RIFF" + struct.pack("<I", len(body)) + body
-        else:  # JPEG
+        elif kind == 2:  # JPEG (sniffable magic, undecodable tail)
             payload = b"\xff\xd8\xff\xe0" + tail
+        else:  # real decodable GIF (random palette image, some interlaced)
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            ncol = int(rng.integers(2, 256))
+            palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+            idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+            payload = encode_gif(idx, palette, interlace=bool(i % 8 == 3))
         payloads.append(payload)
         ids.append(i)
     return pa.table(

@@ -38,7 +38,7 @@ def test_stage_direct():
     out = MediaDecodeStage()(table)
     assert out["media_features"].type == pa.list_(pa.float32(), FEATURE_DIM)
     types = set(out["media_type"].to_pylist())
-    assert {"image/png", "audio/wav", "image/jpeg"} == types
+    assert {"image/png", "audio/wav", "image/jpeg", "image/gif"} == types
     png_rows = [i for i, t in enumerate(out["media_type"].to_pylist()) if t == "image/png"]
     assert all(out["media_w"][i].as_py() is not None for i in png_rows)
     assert all(out["decode_ok"].to_pylist())
@@ -359,3 +359,199 @@ def test_stage_wav_features_real_and_null_payloads(ray_session):
     assert out["media_duration_ms"].to_pylist()[0] == 1000
     feat = np.array(out["media_features"].to_pylist()[0])
     assert abs(feat[0] / feat[1] - (0.5 / np.sqrt(2)) / 0.3125) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# real GIF decode (pure-stdlib LZW) — r4: shrink the non-PNG stub further
+# ---------------------------------------------------------------------------
+
+def _rand_gif(rng, w=None, h=None, ncol=None, interlace=False):
+    from data_profiler_ray.stages.multimodal import encode_gif
+
+    w = w or int(rng.integers(1, 40))
+    h = h or int(rng.integers(1, 40))
+    ncol = ncol or int(rng.integers(2, 257))
+    palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+    return encode_gif(idx, palette, interlace=interlace), palette[idx]
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    from data_profiler_ray.stages.multimodal import decode_gif, parse_gif_size
+
+    rng = np.random.default_rng(11)
+    for interlace in (False, True):
+        for _ in range(6):
+            payload, want = _rand_gif(rng, interlace=interlace)
+            got = decode_gif(payload)
+            assert got.shape == want.shape
+            np.testing.assert_array_equal(got, want)
+            assert parse_gif_size(payload) == (want.shape[1], want.shape[0])
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """Reference GIF-LZW COMPRESSOR (test-only, public GIF89a appendix F):
+    real dictionary growth, LSB-first variable width, 4096 cap. Exercises
+    the decoder paths the eager-clear witness encoder never reaches
+    (table growth, width bumps at 2^w, the KwKwK code==len(table) case)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    stream = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder widens when ITS table (one entry behind ours)
+            # reaches 2^width — i.e. when our next_code passes it
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = wk[-1:]
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        stream.append(bitbuf & 0xFF)
+    return bytes(stream)
+
+
+def test_gif_lzw_real_compressor_roundtrip():
+    from data_profiler_ray.stages.multimodal import _gif_lzw_decode
+
+    rng = np.random.default_rng(5)
+    # KwKwK immediately: a run of one symbol makes the compressor emit
+    # the code it just defined
+    run = b"\x07" * 500
+    got = _gif_lzw_decode(_lzw_encode(run, 3), 3, len(run))
+    np.testing.assert_array_equal(got, np.frombuffer(run, np.uint8))
+    # enough random 8-bit data to push the width through 9->10->11 bits
+    blob = rng.integers(0, 256, size=6000, dtype=np.uint8).tobytes()
+    got = _gif_lzw_decode(_lzw_encode(blob, 8), 8, len(blob))
+    np.testing.assert_array_equal(got, np.frombuffer(blob, np.uint8))
+    # small-alphabet long input: hits the 4096-entry cap with mcs=2
+    small = rng.integers(0, 4, size=30000, dtype=np.uint8).tobytes()
+    got = _gif_lzw_decode(_lzw_encode(small, 2), 2, len(small))
+    np.testing.assert_array_equal(got, np.frombuffer(small, np.uint8))
+
+
+def test_gif_real_lzw_full_image():
+    """A full GIF whose stream came from the real compressor (not the
+    eager-clear witness) decodes identically."""
+    import struct as _s
+
+    from data_profiler_ray.stages.multimodal import decode_gif
+
+    rng = np.random.default_rng(23)
+    h, w = 33, 29
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    mcs = 4
+    stream = _lzw_encode(idx.reshape(-1).tobytes(), mcs)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    payload = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)  # GCT, 16 colors
+        + palette.tobytes()
+        + _s.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+    np.testing.assert_array_equal(decode_gif(payload), palette[idx])
+
+
+def test_gif_extensions_and_local_color_table():
+    """Extension blocks (GCE + comment) are skipped; a frame-local color
+    table overrides the global one; works with NO global table at all."""
+    import struct as _s
+
+    from data_profiler_ray.stages.multimodal import decode_gif
+
+    rng = np.random.default_rng(3)
+    h, w = 5, 7
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    stream = _lzw_encode(idx.reshape(-1).tobytes(), 2)
+    blocks = bytes([len(stream)]) + stream  # short stream: one sub-block
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphic control ext
+    comment = b"\x21\xfe\x05hello\x00"
+    payload = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", w, h, 0, 0, 0)  # NO global color table
+        + gce
+        + comment
+        + _s.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x81)  # local table, 4 col
+        + palette.tobytes()
+        + b"\x02"
+        + blocks
+        + b"\x00\x3b"
+    )
+    np.testing.assert_array_equal(decode_gif(payload), palette[idx])
+
+
+def test_gif_corrupt_inputs_raise():
+    from data_profiler_ray.stages.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(9)
+    payload, _ = _rand_gif(rng, w=10, h=10, ncol=8)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + payload)
+    with pytest.raises(ValueError):
+        decode_gif(payload[:20])  # truncated before any frame
+    with pytest.raises(ValueError):
+        decode_gif(payload[:-30])  # truncated mid-LZW-stream
+    # image frame missing entirely (header + trailer only)
+    with pytest.raises(ValueError):
+        decode_gif(payload[:13 + 8 * 3] + b"\x3b")
+    with pytest.raises(ValueError):
+        encode_gif(np.full((2, 2), 9, np.uint8), np.zeros((4, 3), np.uint8))
+
+
+def test_gif_stage_real_features(ray_session):
+    """GIF rows get decode_ok=True with REAL pixel features (not the
+    sha-seeded fake), and width/height from the header parse."""
+    from data_profiler_ray.stages.multimodal import (
+        MediaDecodeStage,
+        decode_gif,
+        png_pixel_features,
+    )
+
+    rng = np.random.default_rng(17)
+    payload, pix = _rand_gif(rng, w=24, h=16, ncol=32)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([payload], pa.large_binary()),
+        }
+    )
+    out = MediaDecodeStage(strict=True)(t)  # strict: no fake allowed
+    assert out["media_type"].to_pylist() == ["image/gif"]
+    assert out["decode_ok"].to_pylist() == [True]
+    assert out["media_w"].to_pylist() == [24]
+    assert out["media_h"].to_pylist() == [16]
+    got = np.array(out["media_features"].to_pylist()[0], np.float32)
+    np.testing.assert_allclose(
+        got, png_pixel_features(decode_gif(payload)), rtol=1e-6
+    )
