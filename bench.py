@@ -307,7 +307,7 @@ def run_scaling3() -> dict:
             }
         )
     out = {
-        "metric": "scaling best-of-3 pairs (flagship/control eff ratio)",
+        "metric": "scaling median-of-3 pairs (flagship/control eff ratio)",
         "pairs": pairs,
         "median_ratio": round(
             statistics.median(p["ratio"] for p in pairs), 3

@@ -150,7 +150,9 @@ def parse_wav_meta(payload: bytes) -> dict | None:
     return out or None
 
 
-def wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+def wav_audio_features(
+    payload: bytes, dim: int = FEATURE_DIM, *, meta: dict | None = None
+) -> np.ndarray:
     """REAL audio features from an integer-PCM WAV payload — no media
     library needed, the samples are one ``np.frombuffer`` past the RIFF
     chunk walk (r3 verdict item #5):
@@ -165,8 +167,12 @@ def wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     Supports PCM format 1 at 8 (unsigned) / 16 (signed LE) bits, any
     channel count (averaged to mono). Raises ``ValueError`` on float /
     compressed / other formats — callers record ``decode_ok=False``.
+
+    ``meta``: an already-parsed :func:`parse_wav_meta` dict, so callers
+    that ran the RIFF chunk walk for header metadata don't repeat it.
     """
-    meta = parse_wav_meta(payload)
+    if meta is None:
+        meta = parse_wav_meta(payload)
     if not meta or meta.get("audio_format") != 1:
         raise ValueError("not an integer-PCM WAV")
     off, size = meta.get("data_offset"), meta.get("data_size", 0)
@@ -213,6 +219,14 @@ def wav_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# hard cap on decoded image size (pixels): header dims are attacker-
+# controlled, so decoders must bound allocations BEFORE decoding — a
+# 2 MB crafted payload declaring 65535x65535 would otherwise drive
+# multi-GB allocations and OOM-kill the actor (which the per-row
+# except-clause cannot catch). 2^24 px = 4096x4096 ~= 50 MB RGB.
+_MAX_MEDIA_PIXELS = 1 << 24
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode — public spec (RFC 2083 / ISO 15948): chunk
     walk, concatenated-IDAT zlib inflate, per-scanline unfilter (filters
@@ -226,6 +240,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     Up/None filters are vectorized; Sub/Average/Paeth carry a within-row
     byte dependency, so those scanlines run a Python byte loop — fine for
     thumbnail-scale media rows, and the cost is per-actor parallel.
+
+    Decoded size is capped at ``_MAX_MEDIA_PIXELS`` (checked from the
+    declared IHDR dims BEFORE inflating, and the inflate itself is
+    length-bounded) so a small crafted payload cannot OOM a worker.
     """
     if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
         raise ValueError("not a PNG signature")
@@ -256,12 +274,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color}")
     ch = _PNG_CHANNELS[color]
+    if w * h > _MAX_MEDIA_PIXELS:
+        raise ValueError(f"image too large ({w}x{h} px, cap {_MAX_MEDIA_PIXELS})")
+    stride = w * ch
+    expected = h * (stride + 1)
     try:
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        # length-bounded inflate: a zlib bomb stops at expected+1 bytes
+        # instead of materializing its full declared output
+        d = zlib.decompressobj()
+        raw = np.frombuffer(d.decompress(bytes(idat), expected + 1), dtype=np.uint8)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from e
-    stride = w * ch
-    if raw.size != h * (stride + 1):
+    if raw.size != expected or d.unconsumed_tail:
         raise ValueError("IDAT size mismatch")
     raw = raw.reshape(h, stride + 1)
     ftypes = raw[:, 0]
@@ -367,9 +391,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
     de-interlace. Returns an (h, w, 3) uint8 array of the FIRST frame
     (animation frames beyond it are metadata, not features). Raises
     ``ValueError`` on corrupt/truncated input — callers treat that as
-    decode failure."""
+    decode failure. Frame size is capped at ``_MAX_MEDIA_PIXELS``
+    (checked from the declared descriptor dims BEFORE the LZW decode)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     pos = 13  # header (6) + logical screen descriptor (7)
     packed = payload[10]
     gct = None
@@ -397,6 +424,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("truncated image descriptor")
         _, _, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
         pos += 10
+        if iw * ih > _MAX_MEDIA_PIXELS:
+            raise ValueError(
+                f"image too large ({iw}x{ih} px, cap {_MAX_MEDIA_PIXELS})"
+            )
         lct = gct
         if ipacked & 0x80:
             ncol = 2 << (ipacked & 0x07)
@@ -493,6 +524,20 @@ class MediaDecodeStage:
     REAL_TYPES = frozenset({"image/png", "image/gif", "audio/wav"})
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
+        # REAL_TYPES gates payload materialization AND decoder dispatch:
+        # an override of _decode_features for a type not in REAL_TYPES
+        # would silently never be called (rows fall through to the fake
+        # path with decode_ok=True) — fail loudly at construction instead
+        if (
+            type(self)._decode_features is not MediaDecodeStage._decode_features
+            and type(self).REAL_TYPES is MediaDecodeStage.REAL_TYPES
+        ):
+            raise TypeError(
+                f"{type(self).__name__} overrides _decode_features without "
+                "redefining REAL_TYPES: payloads are materialized (and the "
+                "override called) only for media types in REAL_TYPES — "
+                "redefine REAL_TYPES to include your decoder's types"
+            )
         self.payload_col = payload_col
         self.strict = strict
         # Real deployments load the model ONCE here, e.g.:
@@ -500,18 +545,23 @@ class MediaDecodeStage:
         self.model = None
 
     # ------------------------------------------------------------------
-    def _decode_features(self, payload: bytes, media_type: str) -> np.ndarray:
+    def _decode_features(
+        self, payload: bytes, media_type: str, meta: dict | None = None
+    ) -> np.ndarray:
         """REAL decode for the types in ``REAL_TYPES``; called only for
         those (plus subclass additions). PNG/GIF -> stdlib
         :func:`decode_png` / :func:`decode_gif` -> 8x8
         grayscale-thumbnail pixel features; WAV ->
-        :func:`wav_audio_features` PCM features."""
+        :func:`wav_audio_features` PCM features. ``meta`` is the header
+        metadata ``__call__`` already parsed (currently the
+        :func:`parse_wav_meta` dict for WAV, else None) so decoders
+        don't re-walk the header."""
         if media_type == "image/png":
             return png_pixel_features(decode_png(payload))
         if media_type == "image/gif":
             return png_pixel_features(decode_gif(payload))
         if media_type == "audio/wav":
-            return wav_audio_features(payload)
+            return wav_audio_features(payload, meta=meta)
         raise NotImplementedError(
             f"no real decoder for {media_type}: add it to REAL_TYPES and "
             "override _decode_features"
@@ -535,8 +585,17 @@ class MediaDecodeStage:
         payloads = batch[self.payload_col]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        if pa.types.is_binary(payloads.type):
+        if pa.types.is_binary(payloads.type) or pa.types.is_fixed_size_binary(
+            payloads.type
+        ):
             payloads = payloads.cast(pa.large_binary())  # int64 offsets
+        elif not pa.types.is_large_binary(payloads.type):
+            # flat_buffer would misread e.g. a string column's int32
+            # offsets as int64 — fail loudly instead of garbage slices
+            raise TypeError(
+                f"payload column {self.payload_col!r} must be binary-typed "
+                f"(binary/large_binary/fixed_size_binary), got {payloads.type}"
+            )
         n = len(payloads)
         offsets, data = flat_buffer(payloads)
         valid = (
@@ -569,7 +628,7 @@ class MediaDecodeStage:
             durs.append(wav.get("duration_ms") if wav else None)
             try:
                 if payload is not None:
-                    feats.append(self._decode_features(payload, mt))
+                    feats.append(self._decode_features(payload, mt, wav))
                 elif self.strict:
                     raise NotImplementedError(
                         "MediaDecodeStage._decode_features is a stub for "

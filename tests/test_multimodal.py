@@ -555,3 +555,129 @@ def test_gif_stage_real_features(ray_session):
     np.testing.assert_allclose(
         got, png_pixel_features(decode_gif(payload)), rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# review hardening: allocation caps, type guards, subclass contract
+# ---------------------------------------------------------------------------
+
+def test_decoders_reject_oversized_declared_dims():
+    """Attacker-controlled header dims must be rejected BEFORE any
+    decode-sized allocation (a 2 MB GIF declaring 65535x65535 would
+    otherwise OOM the actor)."""
+    import struct as _s
+
+    from data_profiler_ray.stages.multimodal import (
+        _png_chunk,
+        decode_gif,
+        decode_png,
+    )
+
+    big_gif = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 65535, 65535, 0x81, 0, 0)
+        + b"\x00" * 12  # 4-entry global color table
+        + _s.pack("<BHHHHB", 0x2C, 0, 0, 65535, 65535, 0)
+    )
+    with pytest.raises(ValueError, match="too large"):
+        decode_gif(big_gif)
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        decode_gif(b"GIF89a")
+
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0)
+    big_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(big_png)
+
+
+def test_png_inflate_is_length_bounded():
+    """A zlib bomb in IDAT (tiny compressed, huge declared) must fail the
+    size check without materializing its full output."""
+    import struct as _s
+    import zlib as _z
+
+    from data_profiler_ray.stages.multimodal import _png_chunk, decode_png
+
+    # 4x4 gray image (expected raw = 4*(4+1)=20 bytes) whose IDAT
+    # inflates to 4 MB: decompression stops at expected+1 and errors
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * (4 << 20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(bomb)
+
+
+def test_stage_rejects_non_binary_payload_column():
+    from data_profiler_ray.stages.multimodal import MediaDecodeStage
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array(["not bytes"], pa.string()),
+        }
+    )
+    with pytest.raises(TypeError, match="binary-typed"):
+        MediaDecodeStage()(t)
+    # fixed_size_binary is accepted (cast to large_binary)
+    t2 = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"1234"], pa.binary(4)),
+        }
+    )
+    out = MediaDecodeStage()(t2)
+    assert out["media_type"].to_pylist() == ["application/octet-stream"]
+
+
+def test_subclass_must_extend_real_types():
+    from data_profiler_ray.stages.multimodal import MediaDecodeStage
+
+    class BadSub(MediaDecodeStage):
+        def _decode_features(self, payload, media_type, meta=None):
+            return np.zeros(64, np.float32)
+
+    with pytest.raises(TypeError, match="REAL_TYPES"):
+        BadSub()
+
+    class GoodSub(MediaDecodeStage):
+        REAL_TYPES = MediaDecodeStage.REAL_TYPES | {"image/jpeg"}
+
+        def _decode_features(self, payload, media_type, meta=None):
+            if media_type == "image/jpeg":
+                v = np.ones(64, np.float32)
+                return v / np.linalg.norm(v)
+            return super()._decode_features(payload, media_type, meta)
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"\xff\xd8\xff\xe0tail"], pa.large_binary()),
+        }
+    )
+    out = GoodSub()(t)
+    assert out["decode_ok"].to_pylist() == [True]
+    feat = np.array(out["media_features"].to_pylist()[0])
+    np.testing.assert_allclose(feat, 1 / 8.0, rtol=1e-6)
+
+
+def test_wav_features_meta_passthrough():
+    from data_profiler_ray.stages.multimodal import (
+        parse_wav_meta,
+        wav_audio_features,
+    )
+
+    payload = _sine_wav()
+    a = wav_audio_features(payload)
+    b = wav_audio_features(payload, meta=parse_wav_meta(payload))
+    np.testing.assert_array_equal(a, b)
