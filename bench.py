@@ -149,11 +149,16 @@ def bench_flagship() -> dict:
     # cold run includes actor spawn + first-touch page faults (this
     # sandbox kernel faults at ~8 MB/s); steady run is the amortized
     # throughput a long job sees. Both reported.
+    # The RSS witness wraps ONLY the cold pass: its /proc scan thread
+    # contends with this sandbox's globally-serialized fault path
+    # (measured ~35% steady-throughput hit at 1.2M files when sampling
+    # during the timed runs). Peak RSS of one full pass is the
+    # streaming-memory evidence; the steady runs stay unsampled.
     with RssSampler() as rss:
         cold = one_run("cold")
-        # steady-state: best of 3 (the sandbox shows high run-to-run
-        # variance; min wall time = least external interference)
-        steady = min(one_run(f"steady{i}") for i in range(3))
+    # steady-state: best of 3 (the sandbox shows high run-to-run
+    # variance; min wall time = least external interference)
+    steady = min(one_run(f"steady{i}") for i in range(3))
     return {
         "flagship_sec": round(steady, 3),
         "flagship_cold_sec": round(cold, 3),
@@ -196,9 +201,18 @@ def bench_queries() -> dict:
     steady = {}
     extra = {}
     for name in picked:
-        t0 = time.perf_counter()
-        res = qs[name](SF_DIR)
-        out[name] = round(time.perf_counter() - t0, 3)
+        if name in rss_tracked:
+            # sample the FIRST (cold-ish) pass only — see bench_flagship
+            # for why the sampler must not overlap the steady timing
+            with RssSampler() as rss:
+                t0 = time.perf_counter()
+                res = qs[name](SF_DIR)
+                out[name] = round(time.perf_counter() - t0, 3)
+            extra[f"{name}_peak_rss_mb"] = rss.peak_mb
+        else:
+            t0 = time.perf_counter()
+            res = qs[name](SF_DIR)
+            out[name] = round(time.perf_counter() - t0, 3)
         if name == "neardup_dedup":
             # log cluster/dup counts so a recall regression in the
             # oracle-less LSH path is visible round-over-round (r3
@@ -209,16 +223,9 @@ def bench_queries() -> dict:
             extra["neardup_dedup_clusters"] = int(
                 dup["near_dup_cluster"].nunique()
             )
-        if name in rss_tracked:
-            with RssSampler() as rss:
-                t0 = time.perf_counter()
-                qs[name](SF_DIR)
-                steady[name] = round(time.perf_counter() - t0, 3)
-            extra[f"{name}_peak_rss_mb"] = rss.peak_mb
-        else:
-            t0 = time.perf_counter()
-            qs[name](SF_DIR)
-            steady[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        qs[name](SF_DIR)
+        steady[name] = round(time.perf_counter() - t0, 3)
     return out, steady, extra
 
 

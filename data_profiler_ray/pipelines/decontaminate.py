@@ -1,0 +1,121 @@
+"""Benchmark decontamination: flag corpus documents that contain any
+snippet of a benchmark/eval set.
+
+The standard training-data hygiene operator (public method: the GPT-3
+paper's n-gram overlap decontamination, Brown et al. 2020, appendix C;
+same shape used by most published LLM data pipelines): the benchmark
+side is SMALL, so it is collected once, deduplicated, broadcast via
+``ray.put``, and every corpus batch is scanned vectorized — a J2-style
+broadcast semi-join, never a shuffle.
+
+Scale shape (100 TB corpus, bounded benchmark set):
+- benchmark side: one filtered projection scan -> a few thousand snippet
+  strings on the driver (eval sets are KB-MB, corpora are TB — the
+  asymmetry IS the operator's contract, documented here);
+- corpus side: stateless ``map_batches``; per batch the scan is S
+  vectorized ``pyarrow.compute.match_substring`` passes (C-speed
+  substring search over the whole column), no Python per-row loop. For
+  very large S, swap the per-snippet pass for an Aho-Corasick automaton
+  built once per actor in ``__init__`` — the broadcast/streaming shape
+  is unchanged.
+
+Matching is exact substring (the oracle-checkable contract). Published
+pipelines typically normalize whitespace/case and match token n-grams;
+those are pre-normalization ``map_batches`` steps composed upstream, not
+a different operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def benchmark_snippets(
+    ds: ray.data.Dataset,
+    *,
+    every: int = 50,
+    offset: int = 40,
+    length: int = 60,
+    min_len: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """Deterministic benchmark-side extraction used by tests/oracles:
+    from every ``every``-th document with at least ``min_len`` chars,
+    take the ``length``-char snippet starting at 1-based ``offset``
+    (equals SQL ``substr(text, offset, length)`` on an ASCII corpus).
+    Returns the sorted DEDUPLICATED snippet list (small side — collected
+    to the driver by contract)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        # pyarrow.compute has no modulo kernel — numpy on the id array
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False)
+        keep = (ids % every == 0) & (lens >= min_len)
+        sel = batch.filter(pa.array(keep))
+        snip = pc.utf8_slice_codeunits(
+            sel[text_col], offset - 1, offset - 1 + length
+        )
+        return pa.table({"snippet": snip})
+
+    rows = ds.map_batches(extract, batch_format="pyarrow").take_all()
+    return sorted({r["snippet"] for r in rows})
+
+
+class _MarkContamination:
+    """Stateless corpus-side scan; snippet list fetched from the object
+    store once per worker process (``ray.put`` broadcast)."""
+
+    def __init__(self, snippets_ref, id_col: str, text_col: str):
+        self._snippets = ray.get(snippets_ref) if isinstance(
+            snippets_ref, ray.ObjectRef
+        ) else list(snippets_ref)
+        self._id_col = id_col
+        self._text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self._text_col]
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for s in self._snippets:
+            m = pc.match_substring(texts, pattern=s)
+            hits += np.asarray(m.combine_chunks().fill_null(False)
+                               if isinstance(m, pa.ChunkedArray) else
+                               m.fill_null(False)).astype(np.int64)
+        out = batch.append_column(
+            "contaminated", pa.array((hits > 0).astype(np.int64))
+        )
+        return out.append_column("n_hits", pa.array(hits))
+
+
+def decontaminate(
+    corpus: ray.data.Dataset,
+    snippets: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Append ``contaminated`` (0/1 int64: text contains ANY benchmark
+    snippet) and ``n_hits`` (int64: number of DISTINCT snippets found)
+    to every corpus row. ``snippets`` must already be deduplicated
+    (:func:`benchmark_snippets` guarantees it); duplicates would double-
+    count ``n_hits``.
+
+    Streams: one broadcast of the snippet list, one stateless pass over
+    the corpus. Filtering to the clean subset is
+    ``result.filter(expr("contaminated == 0"))`` downstream.
+    """
+    ref = ray.put(sorted(set(snippets)))
+    return corpus.map_batches(
+        _MarkContamination,
+        fn_constructor_kwargs={
+            "snippets_ref": ref,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

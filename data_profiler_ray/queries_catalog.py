@@ -1336,6 +1336,39 @@ def q_flagship(sf_dir: str) -> pd.DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination over documents: flag docs containing
+    any snippet of a deterministic fake 'benchmark set' (every 50th doc
+    with >=100 chars contributes its substr(40,60) snippet). Broadcast
+    snippet set + vectorized substring scan — no shuffle."""
+    from .pipelines.decontaminate import benchmark_snippets, decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    snippets = benchmark_snippets(ds)
+    out = (
+        decontaminate(ds, snippets)
+        .select_columns(["doc_id", "contaminated", "n_hits"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DECONTAMINATE = """
+WITH snippets AS (
+  SELECT DISTINCT substr(text, 40, 60) AS snippet
+  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 100
+)
+SELECT d.doc_id,
+  CAST(max(CASE WHEN position(s.snippet IN d.text) > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS contaminated,
+  CAST(sum(CASE WHEN position(s.snippet IN d.text) > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hits
+FROM documents d CROSS JOIN snippets s
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -1375,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_dedup": q_neardup_dedup,
         "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
+        "decontaminate": q_decontaminate,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1411,5 +1445,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": _SQL_PACK_SHARDS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "hash_split": _SQL_HASH_SPLIT,
+        "decontaminate": _SQL_DECONTAMINATE,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -1,0 +1,633 @@
+"""Pure-stdlib baseline JPEG codec (public ITU-T T.81 spec + JFIF).
+
+Decoder: marker walk (DQT/SOF0/SOF1/DHT/DRI/SOS), canonical Huffman
+entropy decode with byte-unstuffing and restart markers, dequantize +
+de-zigzag, exact 8x8 IDCT as an orthonormal-matrix sandwich (numpy,
+batched over all blocks), nearest-neighbor chroma upsampling (the spec
+leaves upsampling filter choice to the decoder), JFIF YCbCr->RGB.
+Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+modes raise ``ValueError`` — callers treat that as decode failure.
+
+Encoder (:func:`encode_jpeg`): the forward path with the spec's Annex K
+example quantization + Huffman tables — the round-trip witness for the
+decoder and the synth-corpus generator. At ``quality=100`` the Annex K
+tables scale to all-ones, so round-trip error is IDCT/FDCT float
+rounding only (a couple of gray levels), which makes exact-tolerance
+tests possible without any media library.
+
+Scale notes (same argument as the PNG/GIF decoders in
+``multimodal.py``): the entropy decode is an inherently sequential
+bitstream walk, a Python loop over Huffman symbols — acceptable because
+media payloads decode one-per-row inside an actor pool (parallel across
+rows), the DCT math is batched numpy, and thumbnail-scale features
+dominate usage. Decoded size is capped via the declared SOF dims before
+any allocation (see ``multimodal._MAX_MEDIA_PIXELS``).
+
+Reference parity: the reference profiles media columns only via
+type-specific per-column stats (api/services/profile.py); real decode is
+beyond it — part of this repo's training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: _ZIGZAG[k] = (row*8+col) of the k-th coefficient
+# (T.81 figure 5); computed rather than typed to avoid transcription bugs
+def _zigzag_order() -> np.ndarray:
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+# orthonormal 8-point DCT-II basis: _DCT8 @ x is the 1-D forward
+# transform; spatial = _DCT8.T @ F @ _DCT8 is the exact 2-D inverse
+_DCT8 = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# T.81 Annex K.1 example luminance / chrominance quantization tables
+# (row-major), the de-facto standard every JPEG tool ships
+_QT_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# T.81 Annex K.3 example Huffman tables: (BITS counts per code length
+# 1..16, HUFFVAL symbol list)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman codes per T.81 C.2: codes of ascending length,
+    incrementing within a length, doubled between lengths. Returns
+    ``{(length, code): value}`` for the bitwise decoder."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _build_huffman_enc(bits: list[int], vals: list[int]) -> dict:
+    """Encoder-side map: ``{value: (code, length)}``."""
+    return {v: (c, l) for (l, c), v in _build_huffman(bits, vals).items()}
+
+
+class _Bits:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            if self.i >= len(self.d):
+                raise ValueError("truncated entropy segment")
+            self.acc = (self.acc << 8) | self.d[self.i]
+            self.i += 1
+            self.n += 8
+        self.n -= k
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t and v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def _split_scan(data: bytes) -> tuple[list[bytes], int]:
+    """Split entropy-coded data into restart segments, removing 0xFF00
+    byte stuffing. Returns (segments, bytes consumed up to the
+    scan-terminating marker)."""
+    segs, cur = [], bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # any other marker terminates the scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
+    """Baseline-JPEG decode to an (h, w, {1,3}) uint8 array.
+
+    Raises ``ValueError`` on progressive/arithmetic/12-bit streams,
+    corrupt markers, bad Huffman data, or declared dims beyond
+    ``max_pixels`` (checked BEFORE any decode-sized allocation)."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG signature")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        while payload[pos + 1] == 0xFF and pos + 4 <= n:
+            pos += 1  # fill bytes before a marker are legal (B.1.1.2)
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM/RSTn are standalone: no length field
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.int64)
+                    i += 64
+                elif pq == 1:
+                    vals = np.frombuffer(seg[i : i + 128], ">u2").astype(np.int64)
+                    i += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                if len(vals) != 64:
+                    raise ValueError("truncated DQT")
+                t = np.zeros(64, np.int64)
+                t[_ZIGZAG] = vals  # tables are stored in zigzag order
+                qt[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + cnt])
+                if len(vals) != cnt:
+                    raise ValueError("truncated DHT")
+                i += 17 + cnt
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline huffman
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if h == 0 or w == 0:
+                raise ValueError("empty frame")
+            if w * h > max_pixels:
+                raise ValueError(f"image too large ({w}x{h} px, cap {max_pixels})")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF marker 0xFF{marker:02X}: "
+                "progressive/arithmetic/lossless/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                scomp.append((cs, tdta >> 4, tdta & 15))
+            return _decode_scan(
+                payload[pos:], frame, scomp, qt, huff_dc, huff_ac, restart
+            )
+        # all other segments (APPn, COM, ...) are skipped
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, frame, scomp, qt, huff_dc, huff_ac, restart):
+    h, w, comps = frame
+    if len(scomp) != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG not supported")
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    order = []  # per-MCU block order: (comp_index, by, bx)
+    for ci, (cid, _, _) in enumerate(scomp):
+        if cid not in by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+        hs, vs, _ = by_id[cid]
+        for byy in range(vs):
+            for bxx in range(hs):
+                order.append((ci, byy, bxx))
+    # per scan component: dims, quant table, huffman tables
+    cinfo = []
+    for cid, td, ta in scomp:
+        hs, vs, tq = by_id[cid]
+        if tq not in qt:
+            raise ValueError(f"missing quant table {tq}")
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing huffman table")
+        cinfo.append((hs, vs, qt[tq], huff_dc[td], huff_ac[ta]))
+
+    segments, _ = _split_scan(data)
+    nmcu = mcux * mcuy
+    per_seg = restart if restart else nmcu
+    # coefficient planes: one (blocks, 8, 8) array per component
+    coefs = [
+        np.zeros((mcuy * vs * mcux * hs, 8, 8), np.int64)
+        for hs, vs, _, _, _ in cinfo
+    ]
+    blkidx = [0] * len(cinfo)
+    positions = [[] for _ in cinfo]
+    mcu = 0
+    seg_iter = iter(segments)
+    while mcu < nmcu:
+        try:
+            seg = next(seg_iter)
+        except StopIteration:
+            raise ValueError("missing restart segment") from None
+        bits = _Bits(seg)
+        pred = [0] * len(cinfo)
+        for _ in range(min(per_seg, nmcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, byy, bxx in order:
+                hs, vs, q, hdc, hac = cinfo[ci]
+                blk = np.zeros(64, np.int64)
+                t = bits.huff(hdc)
+                if t > 11:
+                    raise ValueError("bad DC category")
+                pred[ci] += _extend(bits.read(t), t)
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = bits.huff(hac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[_ZIGZAG[k]] = _extend(bits.read(s), s)
+                    k += 1
+                i = blkidx[ci]
+                coefs[ci][i] = (blk * q.reshape(-1)).reshape(8, 8)
+                positions[ci].append(((my * vs + byy) * 8, (mx * hs + bxx) * 8))
+                blkidx[ci] = i + 1
+            mcu += 1
+    # batched exact IDCT: spatial = T.T @ F @ T per block
+    planes = []
+    for ci, (hs, vs, _, _, _) in enumerate(cinfo):
+        F = coefs[ci][: blkidx[ci]].astype(np.float64)
+        spat = _DCT8.T @ F @ _DCT8 + 128.0
+        spat = np.clip(np.round(spat), 0, 255).astype(np.uint8)
+        plane = np.zeros((mcuy * vs * 8, mcux * hs * 8), np.uint8)
+        for blk, (py, px) in zip(spat, positions[ci]):
+            plane[py : py + 8, px : px + 8] = blk
+        # upsample to full resolution (nearest: spec leaves the filter
+        # to the decoder; matches our encoder's box subsampling closely)
+        if vs != vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        if hs != hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    raise ValueError(f"unsupported component count {len(planes)}")
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF full-range YCbCr -> RGB."""
+    y = ycc[:, :, 0].astype(np.float64)
+    cb = ycc[:, :, 1].astype(np.float64) - 128.0
+    cr = ycc[:, :, 2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG-style quality scaling of the Annex K tables (public libjpeg
+    convention): 100 -> all ones (near-lossless witness)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _mag_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(
+    px: np.ndarray, *, quality: int = 100, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder — witness for :func:`decode_jpeg` and the
+    synth-corpus generator. ``px`` is (h, w, 3) RGB or (h, w)/(h, w, 1)
+    gray uint8. ``subsample=True`` emits 4:2:0 chroma; ``quality=100``
+    gives all-ones quant tables (round-trip exact to ±2 gray levels)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg needs 1 or 3 channels")
+    gray = nc == 1
+    qt_l = _scale_qt(_QT_LUMA, quality).reshape(8, 8)
+    qt_c = _scale_qt(_QT_CHROMA, quality).reshape(8, 8)
+    if gray:
+        planes = [px[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [qt_l]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        y, cb, cr = ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]
+        if subsample:
+            cb = _box2(cb)
+            cr = _box2(cr)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [qt_l, qt_c, qt_c]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad each plane (edge-replicate) to its MCU-aligned size
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        pp = np.empty((ph, pw), np.float64)
+        src_h, src_w = min(p.shape[0], ph), min(p.shape[1], pw)
+        pp[:src_h, :src_w] = p[:src_h, :src_w]
+        pp[src_h:, :src_w] = pp[src_h - 1 : src_h, :src_w]
+        pp[:, src_w:] = pp[:, src_w - 1 : src_w]
+        padded.append(pp)
+
+    enc_dc = [_build_huffman_enc(*_HT_DC_LUMA)]
+    enc_ac = [_build_huffman_enc(*_HT_AC_LUMA)]
+    if not gray:
+        enc_dc += [_build_huffman_enc(*_HT_DC_CHROMA)] * 2
+        enc_ac += [_build_huffman_enc(*_HT_AC_CHROMA)] * 2
+        qts_sel = [0, 1, 1]
+    else:
+        qts_sel = [0]
+
+    zz = _ZIGZAG
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    body = bytearray()
+    nmcu = mcux * mcuy
+    ri = restart_interval
+    rst = 0
+    since_restart = 0
+    for mcu in range(nmcu):
+        if ri and since_restart == ri:
+            writer.flush()
+            body += writer.out
+            body += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            writer = _BitWriter()
+            pred = [0] * len(planes)
+            since_restart = 0
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, (hs, vs), q) in enumerate(zip(padded, samp, qts)):
+            for byy in range(vs):
+                for bxx in range(hs):
+                    py = (my * vs + byy) * 8
+                    pxx = (mx * hs + bxx) * 8
+                    blk = p[py : py + 8, pxx : pxx + 8] - 128.0
+                    F = _DCT8 @ blk @ _DCT8.T
+                    # qc[k] = k-th coefficient in zigzag order
+                    qc = np.round(F / q).astype(np.int64).reshape(-1)[zz]
+                    # DC
+                    diff = int(qc[0]) - pred[ci]
+                    pred[ci] = int(qc[0])
+                    t = _mag_cat(diff)
+                    code, ln = enc_dc[ci][t]
+                    writer.write(code, ln)
+                    if t:
+                        writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    # AC with run-length + EOB/ZRL
+                    run = 0
+                    last_nz = int(np.max(np.nonzero(qc)[0])) if np.any(qc[1:]) else 0
+                    for k in range(1, 64):
+                        v = int(qc[k])
+                        if v == 0:
+                            if k > last_nz:
+                                code, ln = enc_ac[ci][0x00]  # EOB
+                                writer.write(code, ln)
+                                break
+                            run += 1
+                            if run == 16:
+                                code, ln = enc_ac[ci][0xF0]  # ZRL
+                                writer.write(code, ln)
+                                run = 0
+                            continue
+                        s = _mag_cat(v)
+                        code, ln = enc_ac[ci][(run << 4) | s]
+                        writer.write(code, ln)
+                        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+        since_restart += 1
+    writer.flush()
+    body += writer.out
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload_) + 2) + payload_
+
+    def dqt_seg(tq: int, t: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in t.reshape(-1)[zz]))
+
+    def dht_seg(tc: int, th: int, table) -> bytes:
+        bits_, vals_ = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits_) + bytes(vals_))
+
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qts_sel[ci]])
+        td = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (td << 4) | td])
+    sos += bytes([0, 63, 0])  # Ss/Se/AhAl (baseline fixed)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt_seg(0, qt_l)
+    if not gray:
+        out += dqt_seg(1, qt_c)
+    out += seg(0xC0, sof)
+    out += dht_seg(0, 0, _HT_DC_LUMA)
+    out += dht_seg(1, 0, _HT_AC_LUMA)
+    if not gray:
+        out += dht_seg(0, 1, _HT_DC_CHROMA)
+        out += dht_seg(1, 1, _HT_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _box2(p: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample with edge replication for odd dims."""
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0

@@ -8,9 +8,11 @@ palette expansion) feeding 8x8-thumbnail pixel features — and so are
 GIF (:func:`decode_gif`: pure-Python GIF-variant LZW, palette expansion,
 de-interlace, per the public GIF89a spec) and integer-PCM WAV
 (:func:`wav_audio_features`: RMS / zero-crossing-rate / 8-bin spectral
-profile straight off ``np.frombuffer`` + ``np.fft``).
-The remaining types (JPEG/video entropy decode) stay stubbed behind
-clearly-marked hooks because the container has no media libraries
+profile straight off ``np.frombuffer`` + ``np.fft``) and baseline JPEG
+(:mod:`.jpeg`: Huffman entropy decode, batched exact IDCT, 4:2:0
+upsampling per ITU-T T.81 + JFIF).
+The remaining type (video: container demux + codec decode) stays stubbed
+behind clearly-marked hooks because the container has no media libraries
 (PIL/cv2/torchaudio); swapping in a real decoder is a one-method change.
 
 Conventions:
@@ -508,10 +510,11 @@ class MediaDecodeStage:
     ``map_batches(MediaDecodeStage, batch_size=64, concurrency=(2, N),
     num_cpus=1, batch_format="pyarrow")``.
 
-    The decode hook is :meth:`_decode_features`: REAL for ``image/png``
-    and ``image/gif`` (stdlib decode -> pixel thumbnail features) and
-    ``audio/wav`` (:func:`wav_audio_features`: RMS / zero-crossing /
-    spectral bins from the PCM samples); for other media types the default is a
+    The decode hook is :meth:`_decode_features`: REAL for ``image/png``,
+    ``image/gif`` and ``image/jpeg`` (stdlib decode -> pixel thumbnail
+    features) and ``audio/wav`` (:func:`wav_audio_features`: RMS /
+    zero-crossing / spectral bins from the PCM samples); for the
+    remaining media types (video) the default is a
     DETERMINISTIC FAKE (sha256-seeded pseudo-features) so the full
     pipeline — schema, batching, actor lifecycle, output layout — runs
     and is testable without media libraries. Subclasses with a real
@@ -521,7 +524,9 @@ class MediaDecodeStage:
     the Arrow value buffer).
     """
 
-    REAL_TYPES = frozenset({"image/png", "image/gif", "audio/wav"})
+    REAL_TYPES = frozenset(
+        {"image/png", "image/gif", "image/jpeg", "audio/wav"}
+    )
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
         # REAL_TYPES gates payload materialization AND decoder dispatch:
@@ -560,6 +565,10 @@ class MediaDecodeStage:
             return png_pixel_features(decode_png(payload))
         if media_type == "image/gif":
             return png_pixel_features(decode_gif(payload))
+        if media_type == "image/jpeg":
+            from .jpeg import decode_jpeg
+
+            return png_pixel_features(decode_jpeg(payload))
         if media_type == "audio/wav":
             return wav_audio_features(payload, meta=meta)
         raise NotImplementedError(
@@ -772,10 +781,11 @@ def encode_gif(
 
 
 def synth_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus: tiny REAL decodable PNGs and GIFs
-    (random pixels via :func:`encode_png` / :func:`encode_gif`) + WAV
-    payloads with real fmt/data chunks + JPEG magic payloads with random
-    tails (sniffable, not decodable)."""
+    """Deterministic fake media corpus: tiny REAL decodable PNGs, GIFs
+    and JPEGs (random pixels via :func:`encode_png` / :func:`encode_gif`
+    / :func:`.jpeg.encode_jpeg`) + WAV payloads with real fmt/data
+    chunks."""
+    from .jpeg import encode_jpeg
     rng = np.random.default_rng(seed)
     payloads, ids = [], []
     for i in range(n):
@@ -795,8 +805,10 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
                 + b"data" + struct.pack("<I", len(tail)) + tail
             )
             payload = b"RIFF" + struct.pack("<I", len(body)) + body
-        elif kind == 2:  # JPEG (sniffable magic, undecodable tail)
-            payload = b"\xff\xd8\xff\xe0" + tail
+        elif kind == 2:  # real decodable baseline JPEG
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_jpeg(px, subsample=bool(i % 8 == 2))
         else:  # real decodable GIF (random palette image, some interlaced)
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             ncol = int(rng.integers(2, 256))

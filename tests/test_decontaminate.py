@@ -1,0 +1,96 @@
+"""Benchmark decontamination: broadcast snippet scan semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _corpus(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_planted_contamination(ray_session):
+    from data_profiler_ray.pipelines.decontaminate import decontaminate
+
+    texts = [
+        "totally clean document about nothing",
+        "prefix THE BENCHMARK ANSWER IS 42 suffix",
+        "another clean one",
+        "two hits here: THE BENCHMARK ANSWER IS 42 and SECRET EVAL PROMPT",
+        "only SECRET EVAL PROMPT here",
+    ]
+    out = (
+        decontaminate(
+            _corpus(texts),
+            ["THE BENCHMARK ANSWER IS 42", "SECRET EVAL PROMPT"],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [0, 1, 0, 1, 1]
+    assert out["n_hits"].tolist() == [0, 1, 0, 2, 1]
+
+
+def test_duplicate_snippets_deduped(ray_session):
+    from data_profiler_ray.pipelines.decontaminate import decontaminate
+
+    out = (
+        decontaminate(_corpus(["has NEEDLE once"]), ["NEEDLE", "NEEDLE"])
+        .to_pandas()
+    )
+    assert out["n_hits"].tolist() == [1]
+
+
+def test_empty_snippet_set(ray_session):
+    from data_profiler_ray.pipelines.decontaminate import decontaminate
+
+    out = decontaminate(_corpus(["a", "b"]), []).to_pandas()
+    assert out["contaminated"].tolist() == [0, 0]
+
+
+def test_partition_invariance(ray_session):
+    """Stateless map: result identical however the corpus is split."""
+    from data_profiler_ray.pipelines.decontaminate import (
+        benchmark_snippets,
+        decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ds1 = ray.data.read_parquet(f"{sf}/documents.parquet")
+    snips = benchmark_snippets(ds1)
+    assert len(snips) > 0 and len(snips) == len(set(snips))
+    a = (
+        decontaminate(ds1, snips)
+        .select_columns(["doc_id", "contaminated", "n_hits"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ds2 = ray.data.read_parquet(f"{sf}/documents.parquet").repartition(7)
+    b = (
+        decontaminate(ds2, snips)
+        .select_columns(["doc_id", "contaminated", "n_hits"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # every snippet donor must self-match (its snippet is a substring of
+    # its own text by construction)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+    donor_ids = docs[
+        (docs["doc_id"] % 50 == 0) & (docs["text"].str.len() >= 100)
+    ]["doc_id"]
+    flags = a.set_index("doc_id").loc[donor_ids, "contaminated"]
+    assert (flags == 1).all() and len(flags) > 0

@@ -1,0 +1,163 @@
+"""Baseline JPEG codec: round-trips via the Annex K witness encoder,
+marker/mode error paths, and media-stage integration."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from data_profiler_ray.stages.jpeg import (
+    _HT_DC_LUMA,
+    _build_huffman,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_huffman_canonical_codes():
+    """Annex K DC-luminance table: category 0 is the 2-bit code 00,
+    categories 1-5 are 3-bit 010..110 (public spec, table K.3)."""
+    t = _build_huffman(*_HT_DC_LUMA)
+    assert t[(2, 0b00)] == 0
+    assert t[(3, 0b010)] == 1
+    assert t[(3, 0b110)] == 5
+    assert t[(4, 0b1110)] == 6
+    assert t[(9, 0b111111110)] == 11
+
+
+def test_gray_roundtrip_near_exact():
+    """quality=100 -> all-ones quant tables: error is DCT float rounding
+    only, a couple of gray levels."""
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got.shape == (24, 16, 1)
+    assert int(np.abs(got[:, :, 0].astype(int) - px.astype(int)).max()) <= 2
+
+
+def test_rgb_roundtrip_444():
+    """4:4:4 color: YCbCr forward+inverse rounding adds a little error."""
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got.shape == (17, 23, 3)
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 4
+
+
+def test_rgb_roundtrip_420_smooth():
+    """4:2:0 chroma subsampling: lossy by construction, so verify on a
+    smooth gradient where box-downsample + nearest-upsample stays close."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    px = np.stack(
+        [
+            (yy * 4) % 256,
+            (xx * 3) % 256,
+            ((yy + xx) * 2) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(px, subsample=True))
+    assert got.shape == px.shape
+    assert float(np.abs(got.astype(int) - px.astype(int)).mean()) < 8.0
+
+
+def test_restart_interval_roundtrip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    payload = encode_jpeg(px, restart_interval=2)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+    got = decode_jpeg(payload)
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 4
+
+
+def test_odd_dims_and_tiny():
+    rng = np.random.default_rng(4)
+    for shape in ((13, 9), (1, 1), (8, 8), (9, 17)):
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(px))
+        assert got.shape == (*shape, 1)
+        assert int(np.abs(got[:, :, 0].astype(int) - px.astype(int)).max()) <= 2
+    # odd dims with 4:2:0 (exercises plane padding + upsample crop)
+    px = rng.integers(0, 256, size=(19, 21, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(px, subsample=True)).shape == (19, 21, 3)
+
+
+def test_lower_quality_still_decodes():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    q50 = encode_jpeg(px, quality=50)
+    q100 = encode_jpeg(px, quality=100)
+    assert len(q50) < len(q100)  # quantization actually compresses
+    got = decode_jpeg(q50)
+    assert got.shape == (16, 16, 3)
+
+
+def test_error_paths():
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_jpeg(px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_jpeg(b"GIF89a")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated in the marker segments
+    with pytest.raises(ValueError, match="truncated entropy"):
+        decode_jpeg(good[:-12])  # truncated scan data
+    # progressive SOF2 is rejected with a clear message
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive|unsupported JPEG mode"):
+        decode_jpeg(bytes(prog))
+    # declared dims beyond the cap fail before allocation
+    big = bytearray(good)
+    big[sof + 5 : sof + 9] = (65500).to_bytes(2, "big") + (65500).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpeg(bytes(big))
+
+
+def test_standalone_marker_skipped():
+    """A TEM marker (standalone, no length field) between header
+    segments must not derail the marker walk (B.1.1.2)."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(px)
+    i = good.find(b"\xff\xdb")
+    spliced = good[:i] + b"\xff\x01" + good[i:]
+    got = decode_jpeg(spliced)
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 4
+
+
+def test_parse_jpeg_size_agrees_with_decoder():
+    from data_profiler_ray.stages.multimodal import parse_jpeg_size
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(21, 34, 3), dtype=np.uint8)
+    payload = encode_jpeg(px)
+    assert parse_jpeg_size(payload) == (34, 21)
+
+
+def test_stage_decodes_real_jpeg(ray_session):
+    """JPEG rows now get decode_ok=True with REAL pixel features under
+    strict mode (the stub is video-only)."""
+    from data_profiler_ray.stages.multimodal import (
+        MediaDecodeStage,
+        png_pixel_features,
+    )
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    payload = encode_jpeg(px)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([payload], pa.large_binary()),
+        }
+    )
+    out = MediaDecodeStage(strict=True)(t)
+    assert out["media_type"].to_pylist() == ["image/jpeg"]
+    assert out["decode_ok"].to_pylist() == [True]
+    assert out["media_w"].to_pylist() == [24]
+    assert out["media_h"].to_pylist() == [16]
+    got = np.array(out["media_features"].to_pylist()[0], np.float32)
+    np.testing.assert_allclose(
+        got, png_pixel_features(decode_jpeg(payload)), rtol=1e-6
+    )

@@ -52,14 +52,21 @@ def test_stub_features_deterministic():
 
 
 def test_strict_stub_raises():
-    # rows 0/1 are PNG/WAV (both REAL decoders now) — row 2 is the JPEG,
-    # the remaining stubbed type, which strict mode must refuse to fake
-    table = synth_media_table(3)
+    # PNG/GIF/JPEG/WAV all have REAL decoders now — video is the one
+    # remaining stubbed type, which strict mode must refuse to fake
+    table = synth_media_table(4)  # one row of each real type
+    out = MediaDecodeStage(strict=True)(table)
+    assert out["decode_ok"].to_pylist() == [True] * 4
+    video = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array(
+                [b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32], pa.large_binary()
+            ),
+        }
+    )
     with pytest.raises(NotImplementedError, match="stub"):
-        MediaDecodeStage(strict=True)(table)
-    # PNG+WAV alone pass strict mode
-    out = MediaDecodeStage(strict=True)(table.slice(0, 2))
-    assert out["decode_ok"].to_pylist() == [True, True]
+        MediaDecodeStage(strict=True)(video)
 
 
 def test_media_pipeline_ray(ray_session):
