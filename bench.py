@@ -201,18 +201,9 @@ def bench_queries() -> dict:
     steady = {}
     extra = {}
     for name in picked:
-        if name in rss_tracked:
-            # sample the FIRST (cold-ish) pass only — see bench_flagship
-            # for why the sampler must not overlap the steady timing
-            with RssSampler() as rss:
-                t0 = time.perf_counter()
-                res = qs[name](SF_DIR)
-                out[name] = round(time.perf_counter() - t0, 3)
-            extra[f"{name}_peak_rss_mb"] = rss.peak_mb
-        else:
-            t0 = time.perf_counter()
-            res = qs[name](SF_DIR)
-            out[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
         if name == "neardup_dedup":
             # log cluster/dup counts so a recall regression in the
             # oracle-less LSH path is visible round-over-round (r3
@@ -226,6 +217,13 @@ def bench_queries() -> dict:
         t0 = time.perf_counter()
         qs[name](SF_DIR)
         steady[name] = round(time.perf_counter() - t0, 3)
+        if name in rss_tracked:
+            # RSS witness runs as a THIRD, separately-sampled pass so
+            # neither protocol timing (first-pass or steady) carries the
+            # sampler's fault-path contention — see bench_flagship
+            with RssSampler() as rss:
+                qs[name](SF_DIR)
+            extra[f"{name}_peak_rss_mb"] = rss.peak_mb
     return out, steady, extra
 
 

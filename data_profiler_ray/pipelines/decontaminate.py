@@ -99,9 +99,9 @@ def decontaminate(
 ) -> ray.data.Dataset:
     """Append ``contaminated`` (0/1 int64: text contains ANY benchmark
     snippet) and ``n_hits`` (int64: number of DISTINCT snippets found)
-    to every corpus row. ``snippets`` must already be deduplicated
-    (:func:`benchmark_snippets` guarantees it); duplicates would double-
-    count ``n_hits``.
+    to every corpus row. ``snippets`` is deduplicated defensively here
+    (``n_hits`` counts distinct snippet strings, so passing duplicates
+    does not change the result).
 
     Streams: one broadcast of the snippet list, one stateless pass over
     the corpus. Filtering to the clean subset is

@@ -1359,11 +1359,11 @@ WITH snippets AS (
   FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 100
 )
 SELECT d.doc_id,
-  CAST(max(CASE WHEN position(s.snippet IN d.text) > 0 THEN 1 ELSE 0 END)
-       AS BIGINT) AS contaminated,
-  CAST(sum(CASE WHEN position(s.snippet IN d.text) > 0 THEN 1 ELSE 0 END)
-       AS BIGINT) AS n_hits
-FROM documents d CROSS JOIN snippets s
+  CAST(CASE WHEN count(s.snippet) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated,
+  CAST(count(s.snippet) AS BIGINT) AS n_hits
+FROM documents d
+LEFT JOIN snippets s ON position(s.snippet IN d.text) > 0
 GROUP BY d.doc_id
 ORDER BY d.doc_id
 """

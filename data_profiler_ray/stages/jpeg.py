@@ -235,6 +235,8 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
             raise ValueError(f"bad marker byte at {pos}")
         while payload[pos + 1] == 0xFF and pos + 4 <= n:
             pos += 1  # fill bytes before a marker are legal (B.1.1.2)
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG marker stream")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
@@ -276,6 +278,8 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
                 i += 17 + cnt
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline huffman
+            if len(seg) < 6:
+                raise ValueError("truncated SOF")
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -283,10 +287,21 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
                 raise ValueError("empty frame")
             if w * h > max_pixels:
                 raise ValueError(f"image too large ({w}x{h} px, cap {max_pixels})")
+            # allocation bound: the pixel cap alone does not bound the
+            # coefficient arrays — a crafted SOF can declare hundreds of
+            # components at high sampling factors. Enforce the decoder's
+            # own output contract (1 gray / 3 YCbCr) and the T.81 A.1.1
+            # limit sum(h_i*v_i) <= 10 BEFORE any decode-sized work.
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF component list")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
+            if sum(hs * vs for _, hs, vs, _ in comps) > 10:
+                raise ValueError("sampling factors exceed T.81 limit")
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -295,11 +310,17 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
                 "progressive/arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI")
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             scomp = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]

@@ -568,7 +568,9 @@ class MediaDecodeStage:
         if media_type == "image/jpeg":
             from .jpeg import decode_jpeg
 
-            return png_pixel_features(decode_jpeg(payload))
+            return png_pixel_features(
+                decode_jpeg(payload, max_pixels=_MAX_MEDIA_PIXELS)
+            )
         if media_type == "audio/wav":
             return wav_audio_features(payload, meta=meta)
         raise NotImplementedError(

@@ -161,3 +161,30 @@ def test_stage_decodes_real_jpeg(ray_session):
     np.testing.assert_allclose(
         got, png_pixel_features(decode_jpeg(payload)), rtol=1e-6
     )
+
+
+def test_crafted_sof_resource_bounds():
+    """The pixel cap alone does not bound coefficient allocations: a SOF
+    declaring many components or extreme sampling factors must be
+    rejected before any decode-sized work (T.81 A.1.1 sum(hi*vi)<=10;
+    this decoder additionally requires 1 or 3 components)."""
+    import struct as _s
+
+    rng = np.random.default_rng(10)
+    good = encode_jpeg(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8))
+    sof = good.find(b"\xff\xc0")
+    # ncomp=255 with in-cap pixels
+    bad = bytearray(good)
+    bad[sof + 9] = 255
+    with pytest.raises(ValueError, match="component count|truncated SOF"):
+        decode_jpeg(bytes(bad))
+    # 3 components at 4x4 each: sum h*v = 48 > 10
+    bad = bytearray(good)
+    for c in range(3):
+        bad[sof + 11 + 3 * c] = 0x44
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(bad))
+    # truncated inside the marker stream raises ValueError, not
+    # struct.error (fill-byte run ending at the buffer edge)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff")

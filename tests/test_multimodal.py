@@ -688,3 +688,38 @@ def test_wav_features_meta_passthrough():
     a = wav_audio_features(payload)
     b = wav_audio_features(payload, meta=parse_wav_meta(payload))
     np.testing.assert_array_equal(a, b)
+
+
+def test_corrupt_real_type_payloads_fail_soft(ray_session):
+    """A corrupt payload of a REAL_TYPES format must not crash the
+    batch: the row gets decode_ok=False with zero features while valid
+    neighbors decode normally (the except-Exception branch, uncovered
+    since the synth corpus became all-valid)."""
+    from data_profiler_ray.stages.jpeg import encode_jpeg
+    from data_profiler_ray.stages.multimodal import (
+        FEATURE_DIM,
+        MediaDecodeStage,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(31)
+    good_png = encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    corrupt = [
+        b"\xff\xd8\xff\xe0" + rng.integers(0, 256, 64, dtype=np.uint8).tobytes(),
+        b"GIF89a" + b"\x01\x00\x01\x00\x80\x00\x00",  # truncated GIF
+        good_png[:-20],  # truncated PNG
+        encode_jpeg(rng.integers(0, 256, (8, 8), dtype=np.uint8))[:-6],
+    ]
+    t = pa.table(
+        {
+            "media_id": pa.array(range(len(corrupt) + 1), pa.int64()),
+            "payload": pa.array([good_png] + corrupt, pa.large_binary()),
+        }
+    )
+    out = MediaDecodeStage()(t)
+    ok = out["decode_ok"].to_pylist()
+    assert ok[0] is True and all(o is False for o in ok[1:])
+    feats = out["media_features"].to_pylist()
+    for f in feats[1:]:
+        assert all(v == 0.0 for v in f)
+    assert len(feats[0]) == FEATURE_DIM
