@@ -1,0 +1,125 @@
+"""TF-IDF / BM25 term scoring over a document corpus.
+
+Classic corpus-statistics ranking (public formulas: Sparck Jones 1972
+IDF; Robertson/Walker BM25, TREC-3) expressed Ray-Data-first:
+
+1. ONE corpus scan computes exact per-(doc, term) term frequencies —
+   vectorized Arrow ``split_pattern`` + a pandas C-groupby per batch. A
+   document's text lives in one row, so its tf is complete within the
+   batch: the scan output is already the fully-aggregated (doc, term,
+   tf) table, no combine step needed.
+2. The ONLY shuffle is the vocabulary aggregate: ``groupby(term)`` over
+   unique (doc, term) rows -> per-term document frequency. Input rows
+   are pre-deduplicated by construction (step 1 emits one row per
+   (doc, term)), so the exchange ships the minimum possible.
+3. Per-document token lengths and the corpus average come from a
+   driver-side reduction over the same tf table (two scalar-ish
+   aggregates), and the df vocabulary is broadcast via ``ray.put`` for
+   the final stateless scoring pass.
+
+Scale assumption (documented, like the other broadcast joins): the
+VOCABULARY fits the driver/worker heap — true for natural-language term
+distributions (heaps' law: ~millions of terms for TB corpora, a few
+hundred MB as arrays). If it did not, step 3 becomes a term-keyed hash
+join of the tf table against the df table instead of a broadcast — the
+scan/shuffle shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..util import from_pandas_clean
+
+# BM25 free parameters (the standard defaults from the literature)
+_K1 = 1.2
+_B = 0.75
+
+
+def term_frequencies(
+    ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """One scan -> exact (doc_id, term, tf) rows. Tokenization contract:
+    split on single spaces, drop empty tokens (matches SQL
+    ``string_split(text, ' ')`` with an ``<> ''`` filter)."""
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(texts, pattern=" ")
+        flat = toks.flatten()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        terms = flat.to_numpy(zero_copy_only=False)
+        keep = terms != ""
+        df = pd.DataFrame(
+            {id_col: ids[parents[keep]], "term": terms[keep]}
+        )
+        tf = (
+            df.groupby([id_col, "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return from_pandas_clean(tf)
+
+    return ds.map_batches(tf_batch, batch_format="pyarrow")
+
+
+def tfidf_scores(
+    ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    """Per-(document, term) TF-IDF and BM25 scores.
+
+    - ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed IDF);
+    - ``bm25  = ln((N-df+0.5)/(df+0.5) + 1) * tf*(k1+1) /
+      (tf + k1*(1 - b + b*dl/avgdl))`` with k1=1.2, b=0.75, dl the
+      document's token count, avgdl the corpus mean.
+
+    Both rounded half-away-from-zero to 4 decimals (oracle convention).
+    Returns doc_id, term, tf, tfidf, bm25 sorted by (doc_id, term).
+    """
+    from ..queries_catalog import _round_away
+
+    n_docs = ds.count()
+    tf_ds = term_frequencies(ds, id_col=id_col, text_col=text_col).materialize()
+
+    # vocabulary aggregate — the one shuffle; rows are unique (doc,term)
+    # so count(*) per term IS the document frequency
+    df_tbl = tf_ds.groupby("term").count().to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+
+    # per-doc token length + corpus average, from the same tf table
+    dl_tbl = (
+        tf_ds.groupby(id_col).sum("tf").to_pandas()
+    )
+    dl_col = "sum(tf)"
+    dl_map = dict(zip(dl_tbl[id_col], dl_tbl[dl_col].astype(np.int64)))
+    # average doc length over docs that HAVE tokens (= SQL avg over the
+    # dl table); token-less docs contribute no tf rows on either side
+    avgdl = (
+        float(dl_tbl[dl_col].sum()) / float(len(dl_tbl)) if len(dl_tbl) else 0.0
+    )
+
+    df_ref = ray.put((df_map, dl_map))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm, dlm = ray.get(df_ref)
+        pdf = batch.to_pandas()
+        dfv = pdf["term"].map(dfm).to_numpy(np.float64)
+        dlv = pdf[id_col].map(dlm).to_numpy(np.float64)
+        tf = pdf["tf"].to_numpy(np.float64)
+        idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+        pdf["tfidf"] = _round_away(tf * idf, 4)
+        idf_bm = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        denom = tf + _K1 * (1.0 - _B + _B * dlv / avgdl)
+        pdf["bm25"] = _round_away(idf_bm * tf * (_K1 + 1.0) / denom, 4)
+        return from_pandas_clean(pdf)
+
+    out = tf_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values([id_col, "term"]).reset_index(drop=True)

@@ -1369,6 +1369,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_tfidf(sf_dir: str) -> pd.DataFrame:
+    """Per-(doc, term) TF-IDF + BM25 over documents: one tf scan, one
+    vocabulary shuffle, broadcast df/dl maps, stateless scoring pass."""
+    from .pipelines.tfidf import tfidf_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_scores(ds)
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+)
+SELECT tf.doc_id, tf.term, tf.tf,
+  round(tf.tf * (ln((stats.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf,
+  round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        * tf.tf * 2.2
+        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+        4) AS bm25
+FROM tf
+JOIN df USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+ORDER BY tf.doc_id, tf.term
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -1409,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
+        "tfidf": q_tfidf,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1446,5 +1484,6 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "hash_split": _SQL_HASH_SPLIT,
         "decontaminate": _SQL_DECONTAMINATE,
+        "tfidf": _SQL_TFIDF,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -1,0 +1,70 @@
+"""TF-IDF / BM25 scoring: hand-computed values, partition invariance,
+tokenization contract."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_hand_computed_scores(ray_session):
+    from data_profiler_ray.pipelines.tfidf import tfidf_scores
+
+    # doc0: "a a b", doc1: "a c" -> N=2
+    out = tfidf_scores(_ds(["a a b", "a c"]))
+    out = out.set_index(["doc_id", "term"])
+    # tf
+    assert out.loc[(0, "a"), "tf"] == 2
+    assert out.loc[(0, "b"), "tf"] == 1
+    assert out.loc[(1, "c"), "tf"] == 1
+    # tfidf: term 'a' df=2 -> idf = ln(3/3)+1 = 1 -> doc0 score 2.0
+    assert out.loc[(0, "a"), "tfidf"] == pytest.approx(2.0)
+    # term 'b' df=1 -> idf = ln(3/2)+1
+    want_b = round(1 * (math.log(3 / 2) + 1), 4)
+    assert out.loc[(0, "b"), "tfidf"] == pytest.approx(want_b)
+    # bm25 for (0, 'b'): idf_bm = ln((2-1+0.5)/(1+0.5)+1) = ln(2);
+    # dl=3, avgdl=2.5 -> denom = 1 + 1.2*(0.25 + 0.75*3/2.5)
+    denom = 1 + 1.2 * (0.25 + 0.75 * 3 / 2.5)
+    want = round(math.log(2.0) * 1 * 2.2 / denom, 4)
+    assert out.loc[(0, "b"), "bm25"] == pytest.approx(want)
+
+
+def test_tokenization_contract(ray_session):
+    """Split on single spaces; empty tokens (runs of spaces, edges)
+    dropped — matches the SQL oracle's string_split + <> '' filter."""
+    from data_profiler_ray.pipelines.tfidf import tfidf_scores
+
+    out = tfidf_scores(_ds(["  x  y ", "x"]))
+    got = out.groupby("doc_id")["tf"].sum().to_dict()
+    assert got == {0: 2, 1: 1}
+    assert set(out["term"]) == {"x", "y"}
+
+
+def test_partition_invariance(ray_session):
+    from data_profiler_ray.pipelines.tfidf import tfidf_scores
+
+    sf = "/root/testdata/sf0.001"
+    a = tfidf_scores(
+        ray.data.read_parquet(f"{sf}/documents.parquet")
+    )
+    b = tfidf_scores(
+        ray.data.read_parquet(f"{sf}/documents.parquet").repartition(7)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # scores are finite and positive tf everywhere
+    assert (a["tf"] > 0).all()
+    assert np.isfinite(a["tfidf"]).all() and np.isfinite(a["bm25"]).all()
