@@ -190,6 +190,8 @@ def bench_queries() -> dict:
         "pack_shards",
         "minhash_near_dup",
         "neardup_dedup",
+        "decontaminate",
+        "tfidf",
     ]
     # peak-RSS is sampled for the two historically most expensive
     # queries (r3 verdict item #7 — streaming-memory evidence)

@@ -16,8 +16,8 @@ Scale shape (100 TB corpus, bounded benchmark set):
   vectorized ``pyarrow.compute.match_substring`` passes (C-speed
   substring search over the whole column), no Python per-row loop. For
   very large S, swap the per-snippet pass for an Aho-Corasick automaton
-  built once per actor in ``__init__`` — the broadcast/streaming shape
-  is unchanged.
+  built once per worker (keyed on the broadcast ref) — the
+  broadcast/streaming shape is unchanged.
 
 Matching is exact substring (the oracle-checkable contract). Published
 pipelines typically normalize whitespace/case and match token n-grams;
@@ -65,29 +65,26 @@ def benchmark_snippets(
     return sorted({r["snippet"] for r in rows})
 
 
-class _MarkContamination:
-    """Stateless corpus-side scan; snippet list fetched from the object
-    store once per worker process (``ray.put`` broadcast)."""
-
-    def __init__(self, snippets_ref, id_col: str, text_col: str):
-        self._snippets = ray.get(snippets_ref) if isinstance(
-            snippets_ref, ray.ObjectRef
-        ) else list(snippets_ref)
-        self._id_col = id_col
-        self._text_col = text_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self._text_col]
-        hits = np.zeros(len(batch), dtype=np.int64)
-        for s in self._snippets:
-            m = pc.match_substring(texts, pattern=s)
-            hits += np.asarray(m.combine_chunks().fill_null(False)
-                               if isinstance(m, pa.ChunkedArray) else
-                               m.fill_null(False)).astype(np.int64)
-        out = batch.append_column(
-            "contaminated", pa.array((hits > 0).astype(np.int64))
-        )
-        return out.append_column("n_hits", pa.array(hits))
+def _mark_contamination(
+    batch: pa.Table, *, snippets_ref, id_col: str, text_col: str
+) -> pa.Table:
+    """Stateless corpus-side scan (task mode: Ray task workers persist
+    across executions, so no actor-pool spin-up per query — the learned
+    fast path for cheap-init stages on this engine). The snippet list is
+    fetched from the object store once per task via the ``ray.put``
+    broadcast ref."""
+    snippets = ray.get(snippets_ref)
+    texts = batch[text_col]
+    hits = np.zeros(len(batch), dtype=np.int64)
+    for s in snippets:
+        m = pc.match_substring(texts, pattern=s)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        hits += np.asarray(m.fill_null(False)).astype(np.int64)
+    out = batch.append_column(
+        "contaminated", pa.array((hits > 0).astype(np.int64))
+    )
+    return out.append_column("n_hits", pa.array(hits))
 
 
 def decontaminate(
@@ -109,13 +106,11 @@ def decontaminate(
     """
     ref = ray.put(sorted(set(snippets)))
     return corpus.map_batches(
-        _MarkContamination,
-        fn_constructor_kwargs={
+        _mark_contamination,
+        fn_kwargs={
             "snippets_ref": ref,
             "id_col": id_col,
             "text_col": text_col,
         },
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
     )

@@ -12,17 +12,24 @@ IDF; Robertson/Walker BM25, TREC-3) expressed Ray-Data-first:
    unique (doc, term) rows -> per-term document frequency. Input rows
    are pre-deduplicated by construction (step 1 emits one row per
    (doc, term)), so the exchange ships the minimum possible.
-3. Per-document token lengths and the corpus average come from a
-   driver-side reduction over the same tf table (two scalar-ish
-   aggregates), and the df vocabulary is broadcast via ``ray.put`` for
-   the final stateless scoring pass.
+3. Per-document token length is NOT a broadcast: it is known within the
+   scan batch (the whole doc is one input row) and carried as a ``dl``
+   column on every tf row. The corpus-average length reduces to two
+   driver scalars via one ``Sum`` pass (``dl`` weighted by a
+   first-row-of-doc flag), so nothing per-document ever collects to the
+   driver. Only the per-TERM df vocabulary is broadcast via ``ray.put``
+   for the final stateless scoring pass.
 
-Scale assumption (documented, like the other broadcast joins): the
+Scale assumptions (documented, like the other broadcast joins): the
 VOCABULARY fits the driver/worker heap — true for natural-language term
-distributions (heaps' law: ~millions of terms for TB corpora, a few
-hundred MB as arrays). If it did not, step 3 becomes a term-keyed hash
-join of the tf table against the df table instead of a broadcast — the
-scan/shuffle shape is unchanged.
+distributions (Heaps' law: ~millions of terms for TB corpora, a few
+hundred MB as arrays); if it did not, the scoring pass becomes a
+term-keyed hash join against the df table instead of a broadcast. The
+tf table is ``materialize()``-d because three consumers read it (the
+stats Sum, the df shuffle, the scoring pass) — it is
+corpus-distinct-pair-scale, so at extreme sizes the object store spills
+it to disk; replacing the materialize with three re-scans of the raw
+corpus trades disk for 2x extra tokenize compute, shape unchanged.
 """
 
 from __future__ import annotations
@@ -43,9 +50,12 @@ _B = 0.75
 def term_frequencies(
     ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
-    """One scan -> exact (doc_id, term, tf) rows. Tokenization contract:
-    split on single spaces, drop empty tokens (matches SQL
-    ``string_split(text, ' ')`` with an ``<> ''`` filter)."""
+    """One scan -> exact (doc_id, term, tf, dl, first) rows, where ``dl``
+    is the document's total token count (complete within the batch — the
+    whole doc is one input row) and ``first`` marks one row per document
+    (so corpus-level doc stats are plain ``Sum``s, never a per-doc
+    collect). Tokenization contract: split on single spaces, drop empty
+    tokens (matches SQL ``string_split(text, ' ')`` + ``<> ''``)."""
 
     def tf_batch(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
@@ -66,6 +76,11 @@ def term_frequencies(
             .reset_index(name="tf")
         )
         tf["tf"] = tf["tf"].astype(np.int64)
+        dl = tf.groupby(id_col, sort=False)["tf"].transform("sum")
+        tf["dl"] = dl.astype(np.int64)
+        first = ~tf[id_col].duplicated()
+        tf["first"] = first.astype(np.int64)
+        tf["dl_first"] = (tf["dl"] * tf["first"]).astype(np.int64)
         return from_pandas_clean(tf)
 
     return ds.map_batches(tf_batch, batch_format="pyarrow")
@@ -90,36 +105,45 @@ def tfidf_scores(
     tf_ds = term_frequencies(ds, id_col=id_col, text_col=text_col).materialize()
 
     # vocabulary aggregate — the one shuffle; rows are unique (doc,term)
-    # so count(*) per term IS the document frequency
-    df_tbl = tf_ds.groupby("term").count().to_pandas()
-    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+    # so count(*) per term IS the document frequency. The same pass also
+    # carries the first-row-flag sums, whose grand totals are the
+    # corpus doc-length scalars (the flags sum correctly under ANY term
+    # partitioning because each doc raises exactly one flag) — no second
+    # pass and nothing per-document on the driver. The vocab table is
+    # the SMALL side (Heaps' law) and the only broadcast.
+    from ray.data.aggregate import Count, Sum
 
-    # per-doc token length + corpus average, from the same tf table
-    dl_tbl = (
-        tf_ds.groupby(id_col).sum("tf").to_pandas()
+    df_tbl = (
+        tf_ds.groupby("term")
+        .aggregate(Count(), Sum("dl_first"), Sum("first"))
+        .to_pandas()
     )
-    dl_col = "sum(tf)"
-    dl_map = dict(zip(dl_tbl[id_col], dl_tbl[dl_col].astype(np.int64)))
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
     # average doc length over docs that HAVE tokens (= SQL avg over the
     # dl table); token-less docs contribute no tf rows on either side
+    n_token_docs = int(df_tbl["sum(first)"].sum())
     avgdl = (
-        float(dl_tbl[dl_col].sum()) / float(len(dl_tbl)) if len(dl_tbl) else 0.0
+        float(int(df_tbl["sum(dl_first)"].sum())) / float(n_token_docs)
+        if n_token_docs
+        else 0.0
     )
 
-    df_ref = ray.put((df_map, dl_map))
+    df_ref = ray.put(df_map)
 
     def score(batch: pa.Table) -> pa.Table:
-        dfm, dlm = ray.get(df_ref)
+        dfm = ray.get(df_ref)
         pdf = batch.to_pandas()
         dfv = pdf["term"].map(dfm).to_numpy(np.float64)
-        dlv = pdf[id_col].map(dlm).to_numpy(np.float64)
+        dlv = pdf["dl"].to_numpy(np.float64)
         tf = pdf["tf"].to_numpy(np.float64)
         idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
         pdf["tfidf"] = _round_away(tf * idf, 4)
         idf_bm = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
         denom = tf + _K1 * (1.0 - _B + _B * dlv / avgdl)
         pdf["bm25"] = _round_away(idf_bm * tf * (_K1 + 1.0) / denom, 4)
-        return from_pandas_clean(pdf)
+        return from_pandas_clean(
+            pdf[[id_col, "term", "tf", "tfidf", "bm25"]]
+        )
 
     out = tf_ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values([id_col, "term"]).reset_index(drop=True)
