@@ -34,6 +34,8 @@ import struct
 
 import numpy as np
 
+from ..util import decode_errors as _decode_errors
+
 # zigzag scan order: _ZIGZAG[k] = (row*8+col) of the k-th coefficient
 # (T.81 figure 5); computed rather than typed to avoid transcription bugs
 def _zigzag_order() -> np.ndarray:
@@ -215,6 +217,7 @@ def _split_scan(data: bytes) -> tuple[list[bytes], int]:
     return segs, i
 
 
+@_decode_errors
 def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """Baseline-JPEG decode to an (h, w, {1,3}) uint8 array.
 

@@ -40,6 +40,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ..util import decode_errors
+
 FEATURE_DIM = 64
 
 # magic-byte sniffing — public file signatures
@@ -229,6 +231,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _MAX_MEDIA_PIXELS = 1 << 24
 
 
+@decode_errors
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode — public spec (RFC 2083 / ISO 15948): chunk
     walk, concatenated-IDAT zlib inflate, per-scanline unfilter (filters
@@ -386,6 +389,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npx: int) -> np.ndarray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@decode_errors
 def decode_gif(payload: bytes) -> np.ndarray:
     """Pure-stdlib GIF decode — public GIF87a/89a spec: logical screen
     descriptor, global/local color table, extension-block skip, first

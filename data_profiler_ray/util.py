@@ -33,6 +33,35 @@ def flat_buffer(binary: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return (offsets - offsets[0]).astype(np.int64), data
 
 
+def decode_errors(fn):
+    """Media-decoder contract guard: corrupt bytes raise ``ValueError``,
+    full stop. Structural parsing of untrusted input surfaces truncation
+    / garbage as struct.error, IndexError, KeyError, OverflowError or
+    zlib.error depending on which field breaks first — normalize them so
+    direct callers can rely on ``except ValueError`` (fuzz-tested by
+    mutation in tests/test_multimodal.py)."""
+    import functools
+    import struct
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            OverflowError,
+            zlib.error,
+        ) as e:
+            raise ValueError(f"corrupt payload: {type(e).__name__}: {e}") from e
+
+    return wrapped
+
+
 def tune_context() -> None:
     """Engine-preferred Ray Data execution knobs (idempotent).
 

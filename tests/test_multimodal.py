@@ -723,3 +723,57 @@ def test_corrupt_real_type_payloads_fail_soft(ray_session):
     for f in feats[1:]:
         assert all(v == 0.0 for v in f)
     assert len(feats[0]) == FEATURE_DIM
+
+
+def test_decoder_valueerror_contract_fuzz():
+    """Mutation fuzz of the ValueError contract: truncations and byte
+    flips of valid payloads must either decode or raise ValueError —
+    never IndexError/struct.error/KeyError/zlib.error (the decode_errors
+    guard normalizes structural failures on untrusted bytes)."""
+    from data_profiler_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from data_profiler_ray.stages.multimodal import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(12, 10), dtype=np.uint8)
+    cases = [
+        (decode_png, encode_png(px)),
+        (decode_gif, encode_gif(idx, pal)),
+        (decode_jpeg, encode_jpeg(px)),
+    ]
+    for decode, payload in cases:
+        buf = bytearray(payload)
+        # every truncation point (payloads are small)
+        for cut in range(len(buf)):
+            try:
+                decode(bytes(buf[:cut]))
+            except ValueError:
+                pass
+        # random single-byte flips
+        for _ in range(300):
+            i = int(rng.integers(0, len(buf)))
+            old = buf[i]
+            buf[i] = int(rng.integers(0, 256))
+            try:
+                decode(bytes(buf))
+            except ValueError:
+                pass
+            finally:
+                buf[i] = old
+        # random multi-byte garbage splices
+        for _ in range(60):
+            i = int(rng.integers(0, len(buf)))
+            n = int(rng.integers(1, 9))
+            mutated = bytes(buf[:i]) + rng.integers(
+                0, 256, size=n, dtype=np.uint8
+            ).tobytes() + bytes(buf[i:])
+            try:
+                decode(mutated)
+            except ValueError:
+                pass
