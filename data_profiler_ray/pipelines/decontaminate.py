@@ -65,15 +65,26 @@ def benchmark_snippets(
     return sorted({r["snippet"] for r in rows})
 
 
+# per-worker-process broadcast cache: task workers persist across
+# executions, so one deserialization per (worker, snippet-set) instead
+# of one per batch — and the place a large-S Aho-Corasick automaton
+# would be built and memoized
+_SNIPPET_CACHE: dict = {}
+
+
 def _mark_contamination(
-    batch: pa.Table, *, snippets_ref, id_col: str, text_col: str
+    batch: pa.Table, *, snippets_ref, text_col: str
 ) -> pa.Table:
     """Stateless corpus-side scan (task mode: Ray task workers persist
     across executions, so no actor-pool spin-up per query — the learned
     fast path for cheap-init stages on this engine). The snippet list is
-    fetched from the object store once per task via the ``ray.put``
-    broadcast ref."""
-    snippets = ray.get(snippets_ref)
+    fetched from the object store and memoized once per worker
+    process."""
+    key = snippets_ref.hex()
+    snippets = _SNIPPET_CACHE.get(key)
+    if snippets is None:
+        _SNIPPET_CACHE.clear()  # one live snippet set per worker
+        snippets = _SNIPPET_CACHE[key] = ray.get(snippets_ref)
     texts = batch[text_col]
     hits = np.zeros(len(batch), dtype=np.int64)
     for s in snippets:
@@ -91,7 +102,6 @@ def decontaminate(
     corpus: ray.data.Dataset,
     snippets: list[str],
     *,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> ray.data.Dataset:
     """Append ``contaminated`` (0/1 int64: text contains ANY benchmark
@@ -107,10 +117,6 @@ def decontaminate(
     ref = ray.put(sorted(set(snippets)))
     return corpus.map_batches(
         _mark_contamination,
-        fn_kwargs={
-            "snippets_ref": ref,
-            "id_col": id_col,
-            "text_col": text_col,
-        },
+        fn_kwargs={"snippets_ref": ref, "text_col": text_col},
         batch_format="pyarrow",
     )

@@ -98,6 +98,13 @@ def tfidf_scores(
 
     Both rounded half-away-from-zero to 4 decimals (oracle convention).
     Returns doc_id, term, tf, tfidf, bm25 sorted by (doc_id, term).
+
+    INPUT CONTRACT: one row per document (``id_col`` unique) — the
+    natural shape of a documents table, and what lets ``dl`` complete
+    within a batch. A doc_id split across multiple input rows would get
+    per-row (partial) lengths and double-raise its ``first`` flag;
+    pre-aggregate such input (``groupby(id).map_groups`` concat) before
+    calling.
     """
     from ..queries_catalog import _round_away
 

@@ -302,7 +302,11 @@ def decode_jpeg(payload: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # zero nibbles would divide-by-zero in upsampling
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
             if sum(hs * vs for _, hs, vs, _ in comps) > 10:
                 raise ValueError("sampling factors exceed T.81 limit")
             frame = (h, w, comps)

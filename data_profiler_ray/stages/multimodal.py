@@ -274,6 +274,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        # an empty frame would "decode" into an all-NaN feature vector
+        # with decode_ok=True downstream — reject like decode_gif does
+        raise ValueError("empty image frame")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
     if color not in _PNG_CHANNELS:

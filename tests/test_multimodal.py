@@ -755,6 +755,18 @@ def test_decoder_valueerror_contract_fuzz():
                 decode(bytes(buf[:cut]))
             except ValueError:
                 pass
+        # deterministic zero-write at EVERY position: random flips missed
+        # a real ZeroDivisionError in the JPEG sampling factors once —
+        # zeroed header fields are the classic divide/empty hazard
+        for i in range(len(buf)):
+            old = buf[i]
+            buf[i] = 0
+            try:
+                decode(bytes(buf))
+            except ValueError:
+                pass
+            finally:
+                buf[i] = old
         # random single-byte flips
         for _ in range(300):
             i = int(rng.integers(0, len(buf)))
