@@ -94,3 +94,113 @@ def test_partition_invariance(ray_session):
     ]["doc_id"]
     flags = a.set_index("doc_id").loc[donor_ids, "contaminated"]
     assert (flags == 1).all() and len(flags) > 0
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash (Rabin-Karp) kernel — the S-independent scale path
+# ---------------------------------------------------------------------------
+
+def test_window_hash_matches_snippet_hash():
+    from data_profiler_ray.pipelines.decontaminate import (
+        _snippet_hash,
+        _window_hashes,
+    )
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=500, dtype=np.uint8)
+    for L in (1, 3, 17, 60):
+        H = _window_hashes(data, L)
+        assert len(H) == 500 - L + 1
+        for i in (0, 1, 250, 500 - L):
+            assert int(H[i]) == _snippet_hash(bytes(data[i : i + L]))
+
+
+def test_rolling_equals_scan(ray_session):
+    """The two kernels are interchangeable: same contaminated/n_hits on
+    a corpus with planted snippets of MIXED lengths, overlaps, repeats,
+    empty rows, and boundary-straddling decoys."""
+    from data_profiler_ray.pipelines.decontaminate import decontaminate
+
+    rng = np.random.default_rng(6)
+    words = ["alpha", "beta", "gamma", "delta", "ZZmark", "needle07"]
+    snippets = ["ZZmark needle07", "beta gamma", "delta", "solo"]
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(words, size=n)) if n else "")
+    texts += [
+        "xxZZmark needle07yy",          # embedded multi-word snippet
+        "beta gammabeta gamma",          # overlapping repeats
+        "ZZmark",                        # prefix only — no hit for long one
+        "solo",                          # exact-equality hit
+        "de lta",                        # split decoy
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    a = (
+        decontaminate(ds, snippets, method="scan")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate(ds, snippets, method="rolling")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # the planted rows behave as expected
+    tail = a.set_index("doc_id").tail(5)
+    assert tail["contaminated"].tolist() == [1, 1, 0, 1, 0]
+    assert tail["n_hits"].tolist() == [1, 1, 0, 1, 0]
+
+
+def test_rolling_no_cross_row_windows(ray_session):
+    """A snippet formed only by concatenating two adjacent rows in the
+    flat buffer must NOT match (window straddles a row boundary)."""
+    from data_profiler_ray.pipelines.decontaminate import decontaminate
+
+    out = (
+        decontaminate(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([0, 1], pa.int64()),
+                        "text": pa.array(["ABCD", "EFGH"], pa.string()),
+                    }
+                )
+            ),
+            ["CDEF"],
+            method="rolling",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["contaminated"].tolist() == [0, 0]
+
+
+def test_rolling_oracle_parity_at_sf(ray_session):
+    """Force the rolling kernel on the real documents table and compare
+    with the scan kernel the oracle gate exercises."""
+    from data_profiler_ray.pipelines.decontaminate import (
+        benchmark_snippets,
+        decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet")
+    snips = benchmark_snippets(ds)
+    a = (
+        decontaminate(ds, snips, method="scan")
+        .select_columns(["doc_id", "contaminated", "n_hits"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate(ds, snips, method="rolling")
+        .select_columns(["doc_id", "contaminated", "n_hits"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
