@@ -92,11 +92,10 @@ def _snippet_hash(s: bytes) -> int:
     return h
 
 
-def _window_hashes(data: np.ndarray, L: int) -> np.ndarray:
-    """Vectorized hash of EVERY length-L window of ``data`` (uint8):
-    prefix[i] = sum_{j<i} data[j]*inv^j (cumsum of weighted bytes), so
-    H(i) = (prefix[i+L]-prefix[i]) * base^(i+L-1) — three O(n) array
-    ops, no Python loop; uint64 wraparound is the modulus."""
+def _hash_prefix(data: np.ndarray):
+    """Length-independent parts of the rolling hash, computed ONCE per
+    batch and shared by every snippet-length pass: base^i, inv^i, and
+    prefix[i] = sum_{j<i} data[j]*inv^j (uint64 wraparound throughout)."""
     n = len(data)
     base = np.uint64(_RK_BASE)
     inv = np.uint64(_RK_BASE_INV)
@@ -109,11 +108,21 @@ def _window_hashes(data: np.ndarray, L: int) -> np.ndarray:
         np.cumprod(inv_pows, out=inv_pows)  # inv^i
         prefix = np.zeros(n + 1, dtype=np.uint64)
         np.cumsum(data.astype(np.uint64) * inv_pows, out=prefix[1:])
+    return base_pows, prefix
+
+
+def _window_hashes(data: np.ndarray, L: int) -> np.ndarray:
+    """Vectorized hash of EVERY length-L window of ``data`` (uint8):
+    H(i) = (prefix[i+L]-prefix[i]) * base^(i+L-1) — O(n) array ops, no
+    Python loop; uint64 wraparound is the modulus."""
+    base_pows, prefix = _hash_prefix(data)
+    with np.errstate(over="ignore"):
         return (prefix[L:] - prefix[:-L]) * base_pows[L - 1 :]
 
 
 def _rolling_index(snippets: list[str]):
-    """Per-length hash sets + verification maps for the rolling kernel."""
+    """Per-length hash sets + hash->snippet-bytes maps for the rolling
+    kernel (hash collisions keep a list; verification is exact)."""
     by_len: dict[int, dict[int, list[bytes]]] = {}
     for s in snippets:
         b = s.encode()
@@ -127,23 +136,33 @@ def _rolling_index(snippets: list[str]):
 
 
 def _hits_rolling(texts: pa.Array, index) -> np.ndarray:
-    """Distinct-snippet hit counts per row via one rolling-hash pass per
+    """Distinct-snippet hit counts per row via ONE rolling-hash pass per
     snippet length over the batch's FLAT buffer (windows crossing row
-    boundaries are discarded by offset lookup)."""
+    boundaries are discarded by offset bisection; null rows never
+    count, matching the scan kernel's fill_null mask). The shared
+    prefix arrays are computed once; candidate verification is
+    vectorized per distinct matched hash, so Python-level work is
+    bounded by the number of DISTINCT snippets that hit, not by match
+    occurrences."""
     from ..util import flat_buffer
 
     n_rows = len(texts)
     hits = np.zeros(n_rows, dtype=np.int64)
     if not index or n_rows == 0:
         return hits
-    if pa.types.is_string(texts.type):
-        texts = texts.cast(pa.large_string())
+    if not pa.types.is_large_string(texts.type) and not pa.types.is_large_binary(
+        texts.type
+    ):
+        texts = texts.cast(
+            pa.large_binary() if pa.types.is_binary(texts.type) else pa.large_string()
+        )
     offsets, data = flat_buffer(texts)
-    found: set[tuple[int, bytes]] = set()
+    base_pows, prefix = _hash_prefix(data)  # shared by every length pass
     for L, (hash_arr, hash_map) in index.items():
         if len(data) < L:
             continue
-        H = _window_hashes(data, L)
+        with np.errstate(over="ignore"):
+            H = (prefix[L:] - prefix[:-L]) * base_pows[L - 1 :]
         # kind="sort" is mandatory: the auto heuristic may pick the
         # range-table algorithm, which is pathological for uint64 hashes
         # spanning the full 2^64 range (measured 4.7 s vs 0.14 s here)
@@ -154,13 +173,22 @@ def _hits_rolling(texts: pa.Array, index) -> np.ndarray:
         row_lo = np.searchsorted(offsets, cand, side="right") - 1
         row_hi = np.searchsorted(offsets, cand + L - 1, side="right") - 1
         ok = row_lo == row_hi
-        for pos, row in zip(cand[ok], row_lo[ok]):
-            window = data[pos : pos + int(L)].tobytes()
-            for snip in hash_map.get(int(H[pos]), ()):  # exact verify
-                if snip == window:
-                    found.add((int(row), snip))
-    for row, _ in found:
-        hits[row] += 1
+        cand, rows, Hc = cand[ok], row_lo[ok], H[cand[ok]]
+        if not len(cand):
+            continue
+        windows = np.lib.stride_tricks.sliding_window_view(data, int(L))
+        for h in np.unique(Hc):
+            sel = Hc == h
+            pos_h, rows_h = cand[sel], rows[sel]
+            for snip in hash_map.get(int(h), ()):
+                snip_arr = np.frombuffer(snip, dtype=np.uint8)
+                real = (windows[pos_h] == snip_arr).all(axis=1)
+                matched = np.unique(rows_h[real])
+                hits[matched] += 1
+    if texts.null_count:
+        # null slots can legally carry garbage value-buffer bytes
+        # (non-canonical Arrow) — they must never count as contaminated
+        hits[~np.asarray(texts.is_valid())] = 0
     return hits
 
 
@@ -193,16 +221,20 @@ def _mark_contamination(
     cached = _SNIPPET_CACHE.get(key)
     if cached is None:
         _SNIPPET_CACHE.clear()  # one live snippet set per worker
-        snippets = ray.get(snippets_ref)
-        cached = _SNIPPET_CACHE[key] = (snippets, _rolling_index(snippets))
-    snippets, index = cached
+        cached = _SNIPPET_CACHE[key] = {
+            "snippets": ray.get(snippets_ref),
+            "index": None,  # built lazily: scan-method workers never pay
+        }
+    snippets = cached["snippets"]
     if method == "auto":
         method = "rolling" if len(snippets) > _ROLLING_THRESHOLD else "scan"
     texts = batch[text_col]
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
     if method == "rolling":
-        hits = _hits_rolling(texts, index)
+        if cached["index"] is None:
+            cached["index"] = _rolling_index(snippets)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()  # rolling needs ONE flat buffer
+        hits = _hits_rolling(texts, cached["index"])
     else:
         hits = _hits_scan(texts, snippets, len(batch))
     out = batch.append_column(
@@ -235,7 +267,13 @@ def decontaminate(
     """
     if method not in ("auto", "scan", "rolling"):
         raise ValueError(f"unknown method {method!r}")
-    ref = ray.put(sorted(set(snippets)))
+    dedup = sorted(set(snippets))
+    if any(not s for s in dedup):
+        # an empty snippet is meaningless and the kernels would diverge
+        # on it (match_substring("") matches everything; a zero-length
+        # window matches nothing) — reject instead of picking either
+        raise ValueError("empty snippet in benchmark set")
+    ref = ray.put(dedup)
     return corpus.map_batches(
         _mark_contamination,
         fn_kwargs={"snippets_ref": ref, "text_col": text_col, "method": method},

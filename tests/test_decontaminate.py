@@ -204,3 +204,31 @@ def test_rolling_oracle_parity_at_sf(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_empty_snippet_rejected(ray_session):
+    from data_profiler_ray.pipelines.decontaminate import decontaminate
+
+    with pytest.raises(ValueError, match="empty snippet"):
+        decontaminate(_corpus(["abc"]), ["", "abc"])
+
+
+def test_rolling_masks_null_rows():
+    """A null slot may legally carry garbage value-buffer bytes
+    (non-canonical Arrow) — the rolling kernel must not flag it."""
+    from data_profiler_ray.pipelines.decontaminate import (
+        _hits_rolling,
+        _rolling_index,
+    )
+
+    arr = pa.Array.from_buffers(
+        pa.large_string(),
+        2,
+        [
+            pa.py_buffer(bytes([0b10])),  # row 0 null, row 1 valid
+            pa.py_buffer(np.array([0, 3, 6], np.int64).tobytes()),
+            pa.py_buffer(b"abcabc"),
+        ],
+    )
+    hits = _hits_rolling(arr, _rolling_index(["abc"]))
+    assert hits.tolist() == [0, 1]
