@@ -203,10 +203,14 @@ def _hits_scan(texts, snippets: list[str], n_rows: int) -> np.ndarray:
     return hits
 
 
-# snippet count at which one rolling-hash pass beats S C-speed scans
-# (measured on a 1.2 MB batch: S=64 scan 0.23 s vs rolling 0.06 s,
-# S=1000 scan 3.7 s vs rolling 0.15 s — rolling is S-independent)
-_ROLLING_THRESHOLD = 64
+# snippet count at which one rolling-hash pass beats S C-speed scans.
+# In-process on a warm 1.2 MB batch rolling wins from S~64 (S=64: scan
+# 0.23 s vs 0.06 s; S=1000: 3.7 s vs 0.15 s — rolling is
+# S-independent), but through Ray each task pays fresh-array
+# first-touch cost per batch (this sandbox faults at MB/s), so the
+# distributed crossover sits higher; 256 keeps small benchmark sets on
+# the allocation-free scan path
+_ROLLING_THRESHOLD = 256
 
 
 def _mark_contamination(
