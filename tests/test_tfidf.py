@@ -68,3 +68,30 @@ def test_partition_invariance(ray_session):
     # scores are finite and positive tf everywhere
     assert (a["tf"] > 0).all()
     assert np.isfinite(a["tfidf"]).all() and np.isfinite(a["bm25"]).all()
+
+
+def test_unicode_and_duckdb_differential(ray_session):
+    """Multi-byte UTF-8 terms: the Arrow split/pandas-groupby path must
+    agree with DuckDB's string_split on the same texts (the catalog
+    oracle only exercises the ASCII corpus)."""
+    import duckdb
+
+    from data_profiler_ray.pipelines.tfidf import tfidf_scores
+
+    texts = [
+        "café über café",
+        "日本語 über",
+        "naïve café",
+    ]
+    got = tfidf_scores(_ds(texts))
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    from data_profiler_ray.queries_catalog import _SQL_TFIDF
+
+    want = con.execute(_SQL_TFIDF).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
