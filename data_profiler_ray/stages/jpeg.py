@@ -191,10 +191,9 @@ def _extend(v: int, t: int) -> int:
     return v
 
 
-def _split_scan(data: bytes) -> tuple[list[bytes], int]:
+def _split_scan(data: bytes) -> list[bytes]:
     """Split entropy-coded data into restart segments, removing 0xFF00
-    byte stuffing. Returns (segments, bytes consumed up to the
-    scan-terminating marker)."""
+    byte stuffing; stops at the scan-terminating marker."""
     segs, cur = [], bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -214,7 +213,7 @@ def _split_scan(data: bytes) -> tuple[list[bytes], int]:
         cur.append(b)
         i += 1
     segs.append(bytes(cur))
-    return segs, i
+    return segs
 
 
 @_decode_errors
@@ -366,9 +365,11 @@ def _decode_scan(data, frame, scomp, qt, huff_dc, huff_ac, restart):
             raise ValueError(f"missing quant table {tq}")
         if td not in huff_dc or ta not in huff_ac:
             raise ValueError("missing huffman table")
-        cinfo.append((hs, vs, qt[tq], huff_dc[td], huff_ac[ta]))
+        # quant table pre-flattened: the per-block dequant multiply in
+        # the MCU hot loop needs the 64-vector form
+        cinfo.append((hs, vs, qt[tq].reshape(-1), huff_dc[td], huff_ac[ta]))
 
-    segments, _ = _split_scan(data)
+    segments = _split_scan(data)
     nmcu = mcux * mcuy
     per_seg = restart if restart else nmcu
     # coefficient planes: one (blocks, 8, 8) array per component
@@ -412,7 +413,7 @@ def _decode_scan(data, frame, scomp, qt, huff_dc, huff_ac, restart):
                     blk[_ZIGZAG[k]] = _extend(bits.read(s), s)
                     k += 1
                 i = blkidx[ci]
-                coefs[ci][i] = (blk * q.reshape(-1)).reshape(8, 8)
+                coefs[ci][i] = (blk * q).reshape(8, 8)
                 positions[ci].append(((my * vs + byy) * 8, (mx * hs + bxx) * 8))
                 blkidx[ci] = i + 1
             mcu += 1

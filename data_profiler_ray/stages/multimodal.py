@@ -393,6 +393,14 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npx: int) -> np.ndarray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row indices in interlace-pass storage order (shared by the
+    decoder's de-interlace and the witness encoder's forward pass)."""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+    )
+
+
 @decode_errors
 def decode_gif(payload: bytes) -> np.ndarray:
     """Pure-stdlib GIF decode — public GIF87a/89a spec: logical screen
@@ -463,9 +471,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
         if int(idx.max()) >= len(lct):
             raise ValueError("palette index out of range")
         if ipacked & 0x40:  # interlaced: rows were stored in pass order
-            order = np.concatenate(
-                [np.arange(start, ih, step) for start, step in _GIF_INTERLACE]
-            )
+            order = _gif_interlace_order(ih)
             deinter = np.empty_like(idx)
             deinter[order] = idx
             idx = deinter
@@ -753,10 +759,7 @@ def encode_gif(
     code_size = mcs + 1
     rows = idx
     if interlace:
-        order = np.concatenate(
-            [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
-        )
-        rows = idx[order]  # store rows in pass order
+        rows = idx[_gif_interlace_order(h)]  # store rows in pass order
     stream = bytearray()
     bitbuf = nbits = 0
 
