@@ -251,3 +251,55 @@ def pack_shards(
     )
     out["shard"] = out["shard"].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: n rows with
+    inclusion probability proportional to ``weight_col`` (importance
+    sampling — e.g. oversample high-quality or long documents).
+
+    Method: Efraimidis-Spirakis exponential keys (public algorithm,
+    "Weighted random sampling with a reservoir", IPL 2006): each row
+    gets ``k = -ln(u) / w`` with u in (0,1); the n SMALLEST keys are the
+    sample. Determinism: ``u = (knuth_hash(id, seed) + 1) / (2^32 + 1)``
+    — a pure function of the id, so the result is partition- and
+    retry-invariant and SQL-oracle-able.
+
+    Shape: per-batch local top-n combiner (vectorized argpartition),
+    then one driver-side merge of at most ``n x nblocks`` candidate
+    rows — the corpus never moves. ALL input columns are carried
+    through. Weights must be positive and non-null (raises otherwise);
+    ids follow the module's non-null unique-id contract.
+    """
+    hcol = "__dpr_k__"
+    if hcol in ds.schema().names:
+        raise ValueError(f"input must not contain reserved column {hcol!r}")
+
+    def local_topn(batch: pa.Table) -> pa.Table:
+        ids = _ids_array(batch[id_col])
+        df = batch.to_pandas()
+        df[id_col] = ids
+        w = df[weight_col].to_numpy(np.float64)
+        if np.any(~np.isfinite(w)) or np.any(w <= 0):
+            raise ValueError(
+                f"weighted_sample requires positive finite weights in "
+                f"{weight_col!r}"
+            )
+        u = (_hash_ids(ids, seed).astype(np.float64) + 1.0) / float(
+            int(_MOD32) + 1
+        )
+        df[hcol] = -np.log(u) / w
+        return from_pandas_clean(
+            df.sort_values([hcol, id_col]).head(n)
+        )
+
+    cand = ds.map_batches(local_topn, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values([hcol, id_col]).head(n).drop(columns=[hcol])
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -1406,6 +1406,31 @@ ORDER BY tf.doc_id, tf.term
 """
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Length-weighted document sample (Efraimidis-Spirakis exponential
+    keys, deterministic u from the Knuth id-hash): 100 docs with
+    inclusion probability proportional to n_chars."""
+    from .pipelines.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample(
+        ds, n=100, weight_col="n_chars", id_col="doc_id", seed=7
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    -ln(((CAST(doc_id + 7 AS HUGEINT) * 2654435761) % 4294967296 + 1.0)
+        / 4294967297.0) / n_chars AS k
+  FROM documents
+  ORDER BY k, doc_id
+  LIMIT 100
+)
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lineitem_agg": q_lineitem_agg,
@@ -1447,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
+        "weighted_sample": q_weighted_sample,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1485,5 +1511,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _SQL_HASH_SPLIT,
         "decontaminate": _SQL_DECONTAMINATE,
         "tfidf": _SQL_TFIDF,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

@@ -130,3 +130,62 @@ def test_stratified_sample_rejects_reserved_column(table, ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(ValueError, match="reserved column"):
         stratified_sample(ds, key_col="lang", n_per_key=3)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis exponential keys)
+# ---------------------------------------------------------------------------
+
+def _wtable(n, wfn):
+    import pyarrow as _pa
+
+    return _pa.table(
+        {
+            "doc_id": _pa.array(range(n), _pa.int64()),
+            "w": _pa.array([wfn(i) for i in range(n)], _pa.float64()),
+        }
+    )
+
+
+def test_weighted_sample_partition_invariant(ray_session):
+    from data_profiler_ray.pipelines.sampling import weighted_sample
+
+    t = _wtable(500, lambda i: 1.0 + (i % 10))
+    a = weighted_sample(
+        ray.data.from_arrow(t), n=50, weight_col="w", id_col="doc_id", seed=3
+    )
+    b = weighted_sample(
+        ray.data.from_arrow(t).repartition(9),
+        n=50, weight_col="w", id_col="doc_id", seed=3,
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 50 and a["doc_id"].is_unique
+
+
+def test_weighted_sample_favors_heavy_rows(ray_session):
+    """With weights 1 vs 100, heavy rows dominate the sample (the
+    E-S key ordering makes P(select) ~ proportional to weight)."""
+    from data_profiler_ray.pipelines.sampling import weighted_sample
+
+    t = _wtable(400, lambda i: 100.0 if i % 4 == 0 else 1.0)
+    out = weighted_sample(
+        ray.data.from_arrow(t), n=80, weight_col="w", id_col="doc_id", seed=1
+    )
+    heavy = int((out["doc_id"] % 4 == 0).sum())
+    assert heavy > 60  # 100 heavy rows hold ~97% of total weight
+
+
+def test_weighted_sample_errors_and_edges(ray_session):
+    from data_profiler_ray.pipelines.sampling import weighted_sample
+
+    t = _wtable(10, lambda i: float(i))  # row 0 weight 0 -> invalid
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        weighted_sample(
+            ray.data.from_arrow(t), n=3, weight_col="w", id_col="doc_id"
+        )
+    # n >= rows returns everything
+    t2 = _wtable(5, lambda i: 1.0)
+    out = weighted_sample(
+        ray.data.from_arrow(t2), n=50, weight_col="w", id_col="doc_id"
+    )
+    assert sorted(out["doc_id"]) == list(range(5))
