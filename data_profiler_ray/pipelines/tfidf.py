@@ -86,25 +86,14 @@ def term_frequencies(
     return ds.map_batches(tf_batch, batch_format="pyarrow")
 
 
-def tfidf_scores(
+def tfidf_dataset(
     ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
-) -> pd.DataFrame:
-    """Per-(document, term) TF-IDF and BM25 scores.
-
-    - ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed IDF);
-    - ``bm25  = ln((N-df+0.5)/(df+0.5) + 1) * tf*(k1+1) /
-      (tf + k1*(1 - b + b*dl/avgdl))`` with k1=1.2, b=0.75, dl the
-      document's token count, avgdl the corpus mean.
-
-    Both rounded half-away-from-zero to 4 decimals (oracle convention).
-    Returns doc_id, term, tf, tfidf, bm25 sorted by (doc_id, term).
-
-    INPUT CONTRACT: one row per document (``id_col`` unique) — the
-    natural shape of a documents table, and what lets ``dl`` complete
-    within a batch. A doc_id split across multiple input rows would get
-    per-row (partial) lengths and double-raise its ``first`` flag;
-    pre-aggregate such input (``groupby(id).map_groups`` concat) before
-    calling.
+) -> ray.data.Dataset:
+    """Per-(document, term) TF-IDF and BM25 scores as a STREAMING
+    Dataset (columns doc_id, term, tf, tfidf, bm25, unordered) — the
+    scale path: nothing corpus-sized touches the driver. Semantics,
+    formulas, and the one-row-per-document input contract are
+    documented on :func:`tfidf_scores`.
     """
     from ..queries_catalog import _round_away
 
@@ -152,5 +141,60 @@ def tfidf_scores(
             pdf[[id_col, "term", "tf", "tfidf", "bm25"]]
         )
 
-    out = tf_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return tf_ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_scores(
+    ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    """:func:`tfidf_dataset` collected and sorted — the oracle/test
+    convenience for corpora whose (doc, term) table fits the driver;
+    scale consumers compose on the Dataset instead.
+
+    - ``tfidf = tf * (ln((N+1)/(df+1)) + 1)`` (smoothed IDF);
+    - ``bm25  = ln((N-df+0.5)/(df+0.5) + 1) * tf*(k1+1) /
+      (tf + k1*(1 - b + b*dl/avgdl))`` with k1=1.2, b=0.75, dl the
+      document's token count, avgdl the corpus mean over token-bearing
+      docs.
+
+    Both rounded half-away-from-zero to 4 decimals (oracle convention).
+    Returns doc_id, term, tf, tfidf, bm25 sorted by (doc_id, term).
+
+    INPUT CONTRACT: one row per document (``id_col`` unique) — the
+    natural shape of a documents table, and what lets ``dl`` complete
+    within a batch. A doc_id split across multiple input rows would get
+    per-row (partial) lengths and double-raise its ``first`` flag;
+    pre-aggregate such input (``groupby(id).map_groups`` concat) before
+    calling.
+    """
+    out = tfidf_dataset(ds, id_col=id_col, text_col=text_col).to_pandas()
+    return out.sort_values([id_col, "term"]).reset_index(drop=True)
+
+
+def top_terms(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (the keyword-extraction
+    reduction of :func:`tfidf_dataset`): rank by rounded ``tfidf``
+    descending, ties by ``term`` ascending — the deterministic contract
+    a ``row_number() OVER (PARTITION BY doc ...)`` oracle can mirror.
+
+    Shape: the scored Dataset streams into ONE ``groupby(doc)`` —
+    rows-per-group is a doc's distinct-term count (bounded by doc
+    length), so ``map_groups`` never sees more than one document."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "term"], ascending=[False, True])
+        return g.head(k)[[id_col, "term", "tfidf"]]
+
+    out = (
+        tfidf_dataset(ds, id_col=id_col, text_col=text_col)
+        .groupby(id_col)
+        .map_groups(pick, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values([id_col, "term"]).reset_index(drop=True)

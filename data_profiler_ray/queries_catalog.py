@@ -1406,6 +1406,37 @@ ORDER BY tf.doc_id, tf.term
 """
 
 
+def q_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 keywords by TF-IDF (streaming scored dataset
+    -> one groupby(doc) rank-and-take)."""
+    from .pipelines.tfidf import top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_terms(ds, k=3)
+
+
+_SQL_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n)
+SELECT doc_id, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+    round(tf.tf * (ln((stats.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+)
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term
+) <= 3
+ORDER BY doc_id, term
+"""
+
+
 def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Length-weighted document sample (Efraimidis-Spirakis exponential
     keys, deterministic u from the Knuth id-hash): 100 docs with
@@ -1473,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
         "weighted_sample": q_weighted_sample,
+        "top_terms": q_top_terms,
         "flagship_quality_filter": q_flagship,
     }
 
@@ -1512,5 +1544,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "tfidf": _SQL_TFIDF,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "top_terms": _SQL_TOP_TERMS,
         # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
     }

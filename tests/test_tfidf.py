@@ -95,3 +95,19 @@ def test_unicode_and_duckdb_differential(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_top_terms(ray_session):
+    from data_profiler_ray.pipelines.tfidf import top_terms
+
+    # doc0: 'rare' appears twice and is unique to doc0 -> top keyword
+    out = top_terms(
+        _ds(["rare rare common x y", "common x", "common y"]), k=2
+    )
+    d0 = out[out["doc_id"] == 0]
+    assert len(d0) == 2
+    assert d0.iloc[0]["term"] == "rare" or "rare" in set(d0["term"])
+    top0 = d0.sort_values("tfidf", ascending=False).iloc[0]["term"]
+    assert top0 == "rare"
+    # every doc contributes at most k rows
+    assert out.groupby("doc_id").size().max() <= 2
