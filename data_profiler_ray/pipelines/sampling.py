@@ -57,6 +57,16 @@ def _ids_array(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
+def _batch_with_ids(batch: pa.Table, id_col: str):
+    """Shared combiner prep for the sampling operators: the batch as a
+    pandas frame with ``id_col`` replaced by the validated non-null
+    int64 array. Returns ``(frame, ids)``."""
+    ids = _ids_array(batch[id_col])
+    df = batch.to_pandas()
+    df[id_col] = ids
+    return df, ids
+
+
 def _hash_ids(ids: np.ndarray, seed: int) -> np.ndarray:
     """((id + seed) * 2654435761) mod 2^32 in uint64 — the seed shifts
     the INPUT so the multiplication diffuses it (an additive post-seed
@@ -89,9 +99,7 @@ def stratified_sample(
         raise ValueError(f"input must not contain reserved column {hcol!r}")
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        ids = _ids_array(batch[id_col])
-        df = batch.to_pandas()
-        df[id_col] = ids
+        df, ids = _batch_with_ids(batch, id_col)
         # int64: h < 2^32 by construction; uint64 would force a
         # schema-unifying copy in the groupby
         df[hcol] = _hash_ids(ids, seed).astype(np.int64)
@@ -272,20 +280,28 @@ def weighted_sample(
     — a pure function of the id, so the result is partition- and
     retry-invariant and SQL-oracle-able.
 
-    Shape: per-batch local top-n combiner (vectorized argpartition),
-    then one driver-side merge of at most ``n x nblocks`` candidate
-    rows — the corpus never moves. ALL input columns are carried
-    through. Weights must be positive and non-null (raises otherwise);
-    ids follow the module's non-null unique-id contract.
+    Shape: per-batch local top-n combiner (O(B) ``np.partition`` cut —
+    boundary-tied keys are all kept so the (key, id) tiebreak of the
+    small survivor set stays exact), then one driver-side merge of at
+    most ``n x nblocks`` candidate rows — the corpus never moves. ALL
+    input columns are carried through. Weights must be positive and
+    non-null (raises otherwise); ids follow the module's non-null
+    unique-id contract.
+
+    Oracle-comparison margin: the SQL oracle recomputes ``ln`` with its
+    own libm, which can differ by ~1 ulp (relative ~4e-16). The row
+    sets can therefore only diverge if the n-th and (n+1)-th smallest
+    keys differ by less than that — astronomically unlikely for real
+    weight distributions, and the parity test asserts the fixture's
+    boundary gap is comfortably wide so a risky fixture fails loudly
+    rather than flaking.
     """
     hcol = "__dpr_k__"
     if hcol in ds.schema().names:
         raise ValueError(f"input must not contain reserved column {hcol!r}")
 
     def local_topn(batch: pa.Table) -> pa.Table:
-        ids = _ids_array(batch[id_col])
-        df = batch.to_pandas()
-        df[id_col] = ids
+        df, ids = _batch_with_ids(batch, id_col)
         w = df[weight_col].to_numpy(np.float64)
         if np.any(~np.isfinite(w)) or np.any(w <= 0):
             raise ValueError(
@@ -295,7 +311,14 @@ def weighted_sample(
         u = (_hash_ids(ids, seed).astype(np.float64) + 1.0) / float(
             int(_MOD32) + 1
         )
-        df[hcol] = -np.log(u) / w
+        k = -np.log(u) / w
+        df[hcol] = k
+        if len(df) > n:
+            # O(B) partition cut instead of a full batch sort: keep
+            # everything <= the n-th smallest key so boundary TIES
+            # survive for the (key, id) tiebreak sort of the survivors
+            kth = np.partition(k, n - 1)[n - 1]
+            df = df[k <= kth]
         return from_pandas_clean(
             df.sort_values([hcol, id_col]).head(n)
         )

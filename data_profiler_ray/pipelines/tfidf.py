@@ -193,6 +193,7 @@ def top_terms(
 
     out = (
         tfidf_dataset(ds, id_col=id_col, text_col=text_col)
+        .select_columns([id_col, "term", "tfidf"])  # prune pre-shuffle
         .groupby(id_col)
         .map_groups(pick, batch_format="pandas")
         .to_pandas()

@@ -189,3 +189,25 @@ def test_weighted_sample_errors_and_edges(ray_session):
         ray.data.from_arrow(t2), n=50, weight_col="w", id_col="doc_id"
     )
     assert sorted(out["doc_id"]) == list(range(5))
+
+
+def test_weighted_sample_oracle_boundary_margin(ray_session):
+    """The oracle recomputes -ln(u)/w with DuckDB's libm (can differ by
+    ~1 ulp). Assert the sf0.01 fixture's selection boundary — the gap
+    between the 100th and 101st smallest keys — is orders of magnitude
+    wider than that, so the exact-row parity gate cannot flake across
+    libm versions (the ulp-blind-bug class from round 3)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    ).to_pandas()
+    ids = docs["doc_id"].to_numpy(np.uint64)
+    u = (((ids + 7) * np.uint64(2654435761)) % np.uint64(2**32)).astype(
+        np.float64
+    )
+    u = (u + 1.0) / (2.0**32 + 1.0)
+    k = np.sort(-np.log(u) / docs["n_chars"].to_numpy(np.float64))
+    gap = (k[100] - k[99]) / abs(k[99])
+    assert gap > 1e-9, f"boundary gap {gap} too tight for libm safety"
