@@ -224,7 +224,11 @@ def _mark_contamination(
     key = snippets_ref.hex()
     cached = _SNIPPET_CACHE.get(key)
     if cached is None:
-        _SNIPPET_CACHE.clear()  # one live snippet set per worker
+        # bounded FIFO, not clear(): two decontaminate pipelines
+        # interleaving on one worker must not evict each other per batch
+        # (each eviction would rebuild the rolling-hash index)
+        while len(_SNIPPET_CACHE) >= 4:
+            _SNIPPET_CACHE.pop(next(iter(_SNIPPET_CACHE)))
         cached = _SNIPPET_CACHE[key] = {
             "snippets": ray.get(snippets_ref),
             "index": None,  # built lazily: scan-method workers never pay

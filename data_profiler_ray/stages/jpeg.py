@@ -427,11 +427,13 @@ def _decode_scan(data, frame, scomp, qt, huff_dc, huff_ac, restart):
         for blk, (py, px) in zip(spat, positions[ci]):
             plane[py : py + 8, px : px + 8] = blk
         # upsample to full resolution (nearest: spec leaves the filter
-        # to the decoder; matches our encoder's box subsampling closely)
+        # to the decoder; matches our encoder's box subsampling closely).
+        # Index mapping, not np.repeat — exact for NON-divisible factor
+        # pairs too (a 2x component next to a 3x one is spec-legal)
         if vs != vmax:
-            plane = np.repeat(plane, vmax // vs, axis=0)
+            plane = plane[(np.arange(plane.shape[0] // vs * vmax) * vs) // vmax]
         if hs != hmax:
-            plane = np.repeat(plane, hmax // hs, axis=1)
+            plane = plane[:, (np.arange(plane.shape[1] // hs * hmax) * hs) // hmax]
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return planes[0][:, :, None]

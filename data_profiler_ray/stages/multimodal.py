@@ -342,7 +342,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npx: int) -> np.ndarray:
     capped at 4096 (deferred-clear allowed). Returns ``npx`` palette
     indices. Inherently sequential — a Python loop over codes, same
     thumbnail-scale argument as the PNG Sub/Paeth scanlines."""
-    if not 2 <= min_code_size <= 11:
+    if not 2 <= min_code_size <= 8:
+        # GIF89a caps the color table at 256 entries, so a legal stream
+        # never declares mcs > 8; 9-11 only arise from crafted input
         raise ValueError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1

@@ -211,3 +211,48 @@ def test_weighted_sample_oracle_boundary_margin(ray_session):
     k = np.sort(-np.log(u) / docs["n_chars"].to_numpy(np.float64))
     gap = (k[100] - k[99]) / abs(k[99])
     assert gap > 1e-9, f"boundary gap {gap} too tight for libm safety"
+
+
+def test_pack_shards_dataset_partition_invariance(ray_session):
+    """The streaming Dataset variant yields identical (id, shard)
+    assignments under any input partitioning and matches the collected
+    view."""
+    from data_profiler_ray.pipelines.sampling import (
+        pack_shards,
+        pack_shards_dataset,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "n_chars": pa.array([37 + (i * 13) % 91 for i in range(300)], pa.int64()),
+        }
+    )
+
+    def collect(ds):
+        out = pack_shards_dataset(ds, size_col="n_chars", budget=500).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = collect(ray.data.from_arrow(t).repartition(1))
+    b = collect(ray.data.from_arrow(t).repartition(11))
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        a, pack_shards(ray.data.from_arrow(t), size_col="n_chars", budget=500)
+    )
+
+
+def test_weighted_sample_high_block_count(ray_session):
+    """The candidate merge is distributed (sort+limit over candidates,
+    not a driver concat) — result invariant at a high block count."""
+    from data_profiler_ray.pipelines.sampling import weighted_sample
+
+    t = _wtable(600, lambda i: 1.0 + (i % 17))
+    a = weighted_sample(
+        ray.data.from_arrow(t), n=40, weight_col="w", id_col="doc_id", seed=11
+    )
+    b = weighted_sample(
+        ray.data.from_arrow(t).repartition(64),
+        n=40, weight_col="w", id_col="doc_id", seed=11,
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 40 and a["doc_id"].is_unique

@@ -111,3 +111,22 @@ def test_top_terms(ray_session):
     assert top0 == "rare"
     # every doc contributes at most k rows
     assert out.groupby("doc_id").size().max() <= 2
+
+
+def test_top_terms_dataset_partition_invariance(ray_session):
+    """The streaming Dataset variant returns the same rows regardless of
+    input partitioning, and matches the collected view exactly."""
+    from data_profiler_ray.pipelines.tfidf import top_terms, top_terms_dataset
+
+    sf = "/root/testdata/sf0.001"
+    base = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+    def collect(ds, k):
+        out = top_terms_dataset(ds, k=k).to_pandas()
+        return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+    a = collect(base.repartition(1), 3)
+    b = collect(base.repartition(7), 3)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, top_terms(base, k=3))
+    assert a.groupby("doc_id").size().max() <= 3
