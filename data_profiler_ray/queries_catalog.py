@@ -918,8 +918,12 @@ def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
-    """LSH prefilter + EXACT n-gram Jaccard verification (rows-only: the
-    two-phase candidate pipeline is not SQL-expressible)."""
+    """LSH prefilter + EXACT n-gram Jaccard verification, projected to
+    the (id_a, id_b, jaccard) columns the SQL oracle can reproduce (the
+    MinHash est_jaccard column is hash-permutation output and stays out
+    of the comparison). Oracled against the all-pairs exact-Jaccard SQL:
+    a hash-match certifies the LSH prefilter had FULL recall at this
+    threshold on this corpus — the probabilistic guarantee made concrete."""
     from .pipelines.neardup import ngram_jaccard_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -927,11 +931,51 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
     if out.empty:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
-                             "est_jaccard": pd.array([], dtype="float64"),
                              "jaccard": pd.array([], dtype="float64")})
     out["jaccard"] = _round_away(out["jaccard"], 6)
-    out["est_jaccard"] = _round_away(out["est_jaccard"], 6)
+    out = out[["id_a", "id_b", "jaccard"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_jaccard_join(sf_dir: str) -> pd.DataFrame:
+    """EXACT Jaccard similarity self-join (prefix-filter / PPJoin
+    candidates + distributed verify) — deterministic full-recall pairs
+    at threshold 0.8 over char 5-gram sets."""
+    from .pipelines.neardup import jaccard_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_join(ds, threshold=0.8)
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                             "id_b": pd.array([], dtype="int64"),
+                             "jaccard": pd.array([], dtype="float64")})
+    out["jaccard"] = _round_away(out["jaccard"], 6)
     return out.reset_index(drop=True)
+
+
+# exact all-pairs char-5-gram Jaccard (shingle explosion + set-overlap
+# self-join). Shingles here are SUBSTRINGS; the Ray side hashes them to
+# 64-bit values first — jaccard over the hash sets equals jaccard over
+# the string sets unless two distinct shingles of the same doc-pair
+# collide in 64 bits (~n^2/2^64; the fixtures have ~2k distinct shingles)
+_SQL_JACCARD_JOIN = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+    FROM documents WHERE length(text) >= 5
+  )
+),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+ix AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i::DOUBLE / (ca.c + cb.c - i), 6) AS jaccard
+FROM ix JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
+WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8
+ORDER BY id_a, id_b
+"""
 
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -1491,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "jaccard_join": q_jaccard_join,
         "fingerprints": q_fingerprints,
         "langid_scores": q_langid,
         "media_metadata": q_media_metadata,
@@ -1542,6 +1587,11 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "hash_split": _SQL_HASH_SPLIT,
         "decontaminate": _SQL_DECONTAMINATE,
+        # both jaccard entries share the exact all-pairs oracle: the
+        # jaccard_join path is exact by construction; a hash-match on the
+        # LSH-prefiltered ngram path certifies its recall on this corpus
+        "ngram_jaccard_dedup": _SQL_JACCARD_JOIN,
+        "jaccard_join": _SQL_JACCARD_JOIN,
         "tfidf": _SQL_TFIDF,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "top_terms": _SQL_TOP_TERMS,

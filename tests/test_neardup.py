@@ -331,3 +331,93 @@ def test_neardup_dedup_rejects_string_ids(ray_session):
     )
     with pytest.raises(ValueError, match="integer id column"):
         neardup_dedup(ds, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# jaccard_join (exact prefix-filter / PPJoin self-join)
+# ---------------------------------------------------------------------------
+
+def _bruteforce_jaccard(table, threshold, n=5):
+    from data_profiler_ray.pipelines.neardup import _shingle_hashes
+
+    ids = table["doc_id"].to_pylist()
+    texts = table["text"].to_pylist()
+    sets = {i: _shingle_hashes(t or "", n) for i, t in zip(ids, texts)}
+    rows = []
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = np.intersect1d(sets[a], sets[b], assume_unique=True).size
+            un = sets[a].size + sets[b].size - inter
+            j = inter / un if un else 0.0
+            if j >= threshold:
+                rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def test_jaccard_join_matches_bruteforce(docs_ds):
+    from data_profiler_ray.pipelines.neardup import jaccard_join
+
+    out = jaccard_join(docs_ds, threshold=0.8)
+    want = _bruteforce_jaccard(_docs_table(), 0.8)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        want.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+    )
+    # the planted near-dup must be present (full recall, unlike LSH)
+    assert (0, 30) in set(zip(out.id_a, out.id_b))
+
+
+def test_jaccard_join_partition_invariant_and_lower_threshold(ray_session):
+    from data_profiler_ray.pipelines.neardup import jaccard_join
+
+    t = _docs_table()
+    a = jaccard_join(ray.data.from_arrow(t).repartition(1), threshold=0.4)
+    b = jaccard_join(ray.data.from_arrow(t).repartition(7), threshold=0.4)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        a, _bruteforce_jaccard(t, 0.4).reset_index(drop=True)
+    )
+
+
+def test_jaccard_join_blockwise_runs_and_hot_shingles(ray_session, monkeypatch):
+    """Force the blockwise big-run path (tiny _JJ_RUN_BLOCK) and a hot
+    shingle set (df_cap=2 on a shared-boilerplate corpus) — results must
+    stay exact."""
+    import data_profiler_ray.pipelines.neardup as nd
+
+    monkeypatch.setattr(nd, "_JJ_RUN_BLOCK", 3)
+    boiler = "shared boilerplate header all docs carry "
+    texts = [boiler + f"unique body {i} " + "x" * (i % 7) for i in range(24)]
+    texts.append(texts[0])  # exact dup pair
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = nd.jaccard_join(
+        ray.data.from_arrow(t).repartition(4), threshold=0.6, df_cap=2
+    )
+    want = _bruteforce_jaccard(t, 0.6)
+    pd.testing.assert_frame_equal(
+        out, want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert (0, 24) in set(zip(out.id_a, out.id_b))
+
+
+def test_jaccard_join_edge_cases(ray_session):
+    from data_profiler_ray.pipelines.neardup import jaccard_join
+
+    # empty / null / short texts survive and threshold validates
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["abc", None, ""], pa.string()),
+        }
+    )
+    out = jaccard_join(ray.data.from_arrow(t), threshold=0.9)
+    # "abc" pads to abc\0\0; None and "" both pad to \0\0\0\0\0 -> (2,3) dup
+    assert set(zip(out.id_a, out.id_b)) == {(2, 3)}
+    with pytest.raises(ValueError):
+        jaccard_join(ray.data.from_arrow(t), threshold=0.0)
