@@ -226,6 +226,33 @@ def bench_queries() -> dict:
             with RssSampler() as rss:
                 qs[name](SF_DIR)
             extra[f"{name}_peak_rss_mb"] = rss.peak_mb
+
+    # decontaminate rolling-kernel entry (r4 verdict item #6): every=5
+    # yields ~n_docs/5 snippets, pushing the auto threshold (256) onto
+    # the S-independent Rabin-Karp rolling path END-TO-END through Ray —
+    # the crossover claim gets a distributed number and flat-buffer
+    # kernel regressions become visible round-over-round
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from data_profiler_ray.pipelines.decontaminate import (
+        benchmark_snippets,
+        decontaminate,
+    )
+
+    docs = _ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    snippets = benchmark_snippets(docs, every=5)
+    extra["decontaminate_rolling_snippets"] = len(snippets)
+
+    def _roll_once() -> float:
+        t0 = time.perf_counter()
+        decontaminate(docs, snippets).aggregate(Sum("n_hits"))
+        return time.perf_counter() - t0
+
+    out["decontaminate_rolling"] = round(_roll_once(), 3)
+    steady["decontaminate_rolling"] = round(_roll_once(), 3)
     return out, steady, extra
 
 

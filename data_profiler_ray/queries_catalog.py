@@ -579,10 +579,72 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing exercised end-to-end (rows-only: binary media
-    is not SQL-expressible): sniff + header metadata + deterministic
-    feature extraction over a synthetic media corpus. Deterministic
-    output — the driver's rows-only check is stable across runs."""
+    """Media sniff + header-metadata parse + decode over the synthetic
+    media corpus, ORACLED against the GENERATOR's ground truth: the SQL
+    side is a VALUES table built from the synthesis parameters
+    (``synth_media_table(with_truth=True)`` — independent of every
+    decoder), so a hash-match certifies the type sniffer, the four
+    header parsers and all five real decoders (``decode_ok``) against
+    spec-level truth. ``-1`` = dimension not applicable to the type."""
+    import ray as _ray
+
+    from .stages.multimodal import media_pipeline, synth_media_table
+
+    table = synth_media_table(300, seed=7)
+    out = media_pipeline(
+        _ray.data.from_arrow(table).repartition(4), batch_size=64
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "media_id": out["media_id"].astype("int64"),
+            "media_type": out["media_type"],
+            "media_w": out["media_w"].fillna(-1).astype("int64"),
+            "media_h": out["media_h"].fillna(-1).astype("int64"),
+            "media_duration_ms": out["media_duration_ms"]
+            .fillna(-1)
+            .astype("int64"),
+            "decode_ok": out["decode_ok"].astype("int64"),
+        }
+    )
+    return res.sort_values("media_id").reset_index(drop=True)
+
+
+def _sql_media_metadata() -> str:
+    """Ground-truth VALUES oracle for :func:`q_media_metadata`: every
+    row's type/dims/duration comes from the generator's parameters (and
+    ``decode_ok`` is 1 by construction — every synthesized payload is a
+    real decodable of its kind), NOT from any decoder under test."""
+    from .stages.multimodal import synth_media_table
+
+    t = synth_media_table(300, seed=7, with_truth=True)
+    rows = ",\n  ".join(
+        f"({i}, '{mt}', {w}, {h}, {d}, 1)"
+        for i, mt, w, h, d in zip(
+            t["media_id"].to_pylist(),
+            t["true_type"].to_pylist(),
+            t["true_w"].to_pylist(),
+            t["true_h"].to_pylist(),
+            t["true_duration_ms"].to_pylist(),
+        )
+    )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       media_type,
+       CAST(media_w AS BIGINT) AS media_w,
+       CAST(media_h AS BIGINT) AS media_h,
+       CAST(media_duration_ms AS BIGINT) AS media_duration_ms,
+       CAST(decode_ok AS BIGINT) AS decode_ok
+FROM (VALUES
+  {rows}
+) AS t(media_id, media_type, media_w, media_h, media_duration_ms, decode_ok)
+ORDER BY media_id
+"""
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Feature-vector extraction exercised end-to-end (rows-only: pixel
+    / PCM feature values are decoder output, not SQL-expressible):
+    deterministic L2 norms over the same synthetic media corpus."""
     import ray as _ray
 
     from .stages.multimodal import media_pipeline, synth_media_table
@@ -1539,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "langid_scores": q_langid,
         "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
         "type_inference_summary": q_type_inference,
         "line_ending_profile": q_line_ending_profile,
         "stratified_sample": q_stratified_sample,
@@ -1592,6 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         # LSH-prefiltered ngram path certifies its recall on this corpus
         "ngram_jaccard_dedup": _SQL_JACCARD_JOIN,
         "jaccard_join": _SQL_JACCARD_JOIN,
+        # generator-ground-truth VALUES table (decoder-independent)
+        "media_metadata": _sql_media_metadata(),
         "tfidf": _SQL_TFIDF,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "top_terms": _SQL_TOP_TERMS,

@@ -11,9 +11,12 @@ de-interlace, per the public GIF89a spec) and integer-PCM WAV
 profile straight off ``np.frombuffer`` + ``np.fft``) and baseline JPEG
 (:mod:`.jpeg`: Huffman entropy decode, batched exact IDCT, 4:2:0
 upsampling per ITU-T T.81 + JFIF).
-The remaining type (video: container demux + codec decode) stays stubbed
-behind clearly-marked hooks because the container has no media libraries
-(PIL/cv2/torchaudio); swapping in a real decoder is a one-method change.
+and MJPEG-in-AVI video (:func:`avi_video_features`: RIFF ``movi`` chunk
+walk feeding each frame to the JPEG decoder — the public AVI 1.0
+container layout). Codecs with no stdlib-only decode path (mp4/webm/ogg
+bitstreams) stay stubbed behind clearly-marked hooks because the
+container has no media libraries (PIL/cv2/torchaudio); swapping in a
+real decoder is a one-method change.
 
 Conventions:
 - payload column: ``pa.large_binary()`` (a file's raw bytes);
@@ -217,6 +220,160 @@ def wav_audio_features(
     vec[2:10] = bins
     norm = float(np.linalg.norm(vec))
     return vec / norm if norm else vec
+
+
+def parse_avi_meta(payload: bytes) -> dict | None:
+    """Width / height / frame count / duration_ms from a RIFF-AVI main
+    header (``LIST hdrl`` -> ``avih``; public RIFF / AVI 1.0 spec — the
+    same chunk-walk style as :func:`parse_wav_meta`), plus the byte
+    offset of the ``LIST movi`` payload region so
+    :func:`avi_video_features` can walk the frame chunks in place.
+    Returns None when the payload is not RIFF-AVI; missing/short headers
+    simply leave keys absent (callers decide strictness)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    out: dict = {}
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"LIST" and pos + 12 <= n:
+            fourcc = payload[pos + 8 : pos + 12]
+            if fourcc == b"hdrl":
+                # descend: the avih chunk is the first child of hdrl
+                inner = pos + 12
+                end = min(pos + 8 + size, n)
+                while inner + 8 <= end:
+                    icid = payload[inner : inner + 4]
+                    (isz,) = struct.unpack("<I", payload[inner + 4 : inner + 8])
+                    if icid == b"avih" and isz >= 40 and inner + 48 <= n:
+                        (
+                            us_per_frame,
+                            _max_rate,
+                            _pad,
+                            _flags,
+                            total_frames,
+                            _init,
+                            _streams,
+                            _bufsz,
+                            width,
+                            height,
+                        ) = struct.unpack(
+                            "<10I", payload[inner + 8 : inner + 48]
+                        )
+                        out.update(
+                            us_per_frame=us_per_frame,
+                            n_frames=total_frames,
+                            width=width,
+                            height=height,
+                        )
+                        if us_per_frame:
+                            out["duration_ms"] = int(
+                                total_frames * us_per_frame // 1000
+                            )
+                    inner += 8 + isz + (isz & 1)
+            elif fourcc == b"movi":
+                out["movi_offset"] = pos + 12
+                out["movi_size"] = max(0, size - 4)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return out or None
+
+
+def avi_movi_frames(payload: bytes, meta: dict | None = None) -> list[bytes]:
+    """The compressed video frame payloads (``##dc`` / ``##db`` chunks)
+    from an AVI ``movi`` region, in stream order. Raises ``ValueError``
+    when the movi list is missing or a chunk is truncated."""
+    if meta is None:
+        meta = parse_avi_meta(payload)
+    if not meta or "movi_offset" not in meta:
+        raise ValueError("AVI without a movi list")
+    pos = meta["movi_offset"]
+    end = min(pos + meta.get("movi_size", 0), len(payload))
+    frames: list[bytes] = []
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError("truncated movi chunk")
+        if cid[2:4] in (b"dc", b"db"):
+            frames.append(payload[pos + 8 : pos + 8 + size])
+        pos += 8 + size + (size & 1)
+    return frames
+
+
+@decode_errors
+def avi_video_features(
+    payload: bytes, dim: int = FEATURE_DIM, *, meta: dict | None = None
+) -> np.ndarray:
+    """REAL video features for MJPEG-in-AVI: the FIRST frame decoded
+    through the in-tree baseline-JPEG decoder -> the same 8x8
+    grayscale-thumbnail signature images use (frames beyond the first
+    are counted as metadata, not re-decoded — the thumbnail convention
+    treats a video like its poster frame). Raises ``ValueError`` on a
+    frame the JPEG decoder rejects or an empty/missing movi list —
+    callers record ``decode_ok=False``."""
+    from .jpeg import decode_jpeg
+
+    frames = avi_movi_frames(payload, meta)
+    if not frames:
+        raise ValueError("AVI movi list has no video frames")
+    px = decode_jpeg(frames[0], max_pixels=_MAX_MEDIA_PIXELS)
+    return png_pixel_features(px, dim)
+
+
+def _riff_chunk(cid: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return cid + struct.pack("<I", len(data)) + data + pad
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal MJPEG-in-AVI encoder (public RIFF / AVI 1.0 layout) —
+    synth/test helper and the round-trip witness for
+    :func:`parse_avi_meta` / :func:`avi_video_features`. Each frame is
+    an (h, w, 3) uint8 array, compressed with the in-tree Annex-K
+    witness JPEG encoder."""
+    from .jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    us_per_frame = 1_000_000 // max(1, fps)
+    jpegs = [encode_jpeg(f) for f in frames]
+    avih = struct.pack(
+        "<10I4I",
+        us_per_frame,
+        max(len(j) for j in jpegs) * fps,
+        0,
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        len(frames),
+        0,
+        1,
+        max(len(j) for j in jpegs),
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0, 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(_riff_chunk(b"strh", strh)) + len(_riff_chunk(b"strf", strf))
+    ) + b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl_body = _riff_chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    movi_body = b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # number of samples per pixel by PNG color type (spec §11.2.2)
@@ -528,9 +685,12 @@ class MediaDecodeStage:
 
     The decode hook is :meth:`_decode_features`: REAL for ``image/png``,
     ``image/gif`` and ``image/jpeg`` (stdlib decode -> pixel thumbnail
-    features) and ``audio/wav`` (:func:`wav_audio_features`: RMS /
-    zero-crossing / spectral bins from the PCM samples); for the
-    remaining media types (video) the default is a
+    features), ``audio/wav`` (:func:`wav_audio_features`: RMS /
+    zero-crossing / spectral bins from the PCM samples) and
+    ``video/avi`` (:func:`avi_video_features`: RIFF movi walk -> first
+    MJPEG frame through the in-tree JPEG decoder -> thumbnail features);
+    for the remaining media types (mp4/webm/ogg/mp3 — containers whose
+    codecs have no stdlib-only decode path) the default is a
     DETERMINISTIC FAKE (sha256-seeded pseudo-features) so the full
     pipeline — schema, batching, actor lifecycle, output layout — runs
     and is testable without media libraries. Subclasses with a real
@@ -541,7 +701,7 @@ class MediaDecodeStage:
     """
 
     REAL_TYPES = frozenset(
-        {"image/png", "image/gif", "image/jpeg", "audio/wav"}
+        {"image/png", "image/gif", "image/jpeg", "audio/wav", "video/avi"}
     )
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
@@ -589,6 +749,8 @@ class MediaDecodeStage:
             )
         if media_type == "audio/wav":
             return wav_audio_features(payload, meta=meta)
+        if media_type == "video/avi":
+            return avi_video_features(payload, meta=meta)
         raise NotImplementedError(
             f"no real decoder for {media_type}: add it to REAL_TYPES and "
             "override _decode_features"
@@ -649,13 +811,18 @@ class MediaDecodeStage:
             # data-chunk walk + PCM decode anyway
             payload = bytes(data[lo:hi]) if mt in self.REAL_TYPES else None
             wav = parse_wav_meta(payload) if mt == "audio/wav" else None
+            meta = wav
+            if mt == "video/avi":
+                meta = parse_avi_meta(payload)
+                if meta and meta.get("width"):
+                    size = (meta["width"], meta["height"])
             types.append(mt)
             widths.append(size[0] if size else None)
             heights.append(size[1] if size else None)
-            durs.append(wav.get("duration_ms") if wav else None)
+            durs.append(meta.get("duration_ms") if meta else None)
             try:
                 if payload is not None:
-                    feats.append(self._decode_features(payload, mt, wav))
+                    feats.append(self._decode_features(payload, mt, meta))
                 elif self.strict:
                     raise NotImplementedError(
                         "MediaDecodeStage._decode_features is a stub for "
@@ -795,21 +962,33 @@ def encode_gif(
     )
 
 
-def synth_media_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake media corpus: tiny REAL decodable PNGs, GIFs
-    and JPEGs (random pixels via :func:`encode_png` / :func:`encode_gif`
-    / :func:`.jpeg.encode_jpeg`) + WAV payloads with real fmt/data
-    chunks."""
+def synth_media_table(
+    n: int, seed: int = 7, *, with_truth: bool = False
+) -> pa.Table:
+    """Deterministic fake media corpus: tiny REAL decodable PNGs, GIFs,
+    JPEGs and MJPEG AVIs (random pixels via :func:`encode_png` /
+    :func:`encode_gif` / :func:`.jpeg.encode_jpeg` / :func:`encode_avi`)
+    + WAV payloads with real fmt/data chunks.
+
+    ``with_truth=True`` appends the GENERATOR's ground-truth columns
+    (``true_type`` / ``true_w`` / ``true_h`` / ``true_duration_ms``,
+    ``-1`` where the type has no such dimension) — recorded from the
+    synthesis parameters, independent of any decoder, so an oracle can
+    check the parsed header metadata against them as a pure projection.
+    """
     from .jpeg import encode_jpeg
     rng = np.random.default_rng(seed)
     payloads, ids = [], []
+    t_type, t_w, t_h, t_dur = [], [], [], []
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         tail = rng.integers(0, 256, size=int(rng.integers(64, 256)), dtype=np.uint8).tobytes()
+        w = h = dur = -1
         if kind == 0:  # real decodable PNG
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_png(px)
+            mt = "image/png"
         elif kind == 1:  # WAV with real fmt/data chunks (duration parses)
             sr, ch, bits = 8000, 1, 8
             byte_rate = sr * ch * bits // 8
@@ -820,21 +999,44 @@ def synth_media_table(n: int, seed: int = 7) -> pa.Table:
                 + b"data" + struct.pack("<I", len(tail)) + tail
             )
             payload = b"RIFF" + struct.pack("<I", len(body)) + body
+            mt = "audio/wav"
+            dur = len(tail) * 1000 // byte_rate
         elif kind == 2:  # real decodable baseline JPEG
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_jpeg(px, subsample=bool(i % 8 == 2))
-        else:  # real decodable GIF (random palette image, some interlaced)
+            mt = "image/jpeg"
+        elif kind == 3:  # real decodable GIF (random palette, some interlaced)
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             ncol = int(rng.integers(2, 256))
             palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
             idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
             payload = encode_gif(idx, palette, interlace=bool(i % 8 == 3))
+            mt = "image/gif"
+        else:  # real decodable MJPEG-in-AVI (2-4 frames)
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            nf = int(rng.integers(2, 5))
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                for _ in range(nf)
+            ]
+            fps = 10
+            payload = encode_avi(frames, fps=fps)
+            mt = "video/avi"
+            dur = nf * (1_000_000 // fps) // 1000
         payloads.append(payload)
         ids.append(i)
-    return pa.table(
-        {
-            "media_id": pa.array(ids, pa.int64()),
-            "payload": pa.array(payloads, pa.large_binary()),
-        }
-    )
+        t_type.append(mt)
+        t_w.append(w)
+        t_h.append(h)
+        t_dur.append(dur)
+    cols = {
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    }
+    if with_truth:
+        cols["true_type"] = pa.array(t_type, pa.string())
+        cols["true_w"] = pa.array(t_w, pa.int64())
+        cols["true_h"] = pa.array(t_h, pa.int64())
+        cols["true_duration_ms"] = pa.array(t_dur, pa.int64())
+    return pa.table(cols)

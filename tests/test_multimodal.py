@@ -38,7 +38,9 @@ def test_stage_direct():
     out = MediaDecodeStage()(table)
     assert out["media_features"].type == pa.list_(pa.float32(), FEATURE_DIM)
     types = set(out["media_type"].to_pylist())
-    assert {"image/png", "audio/wav", "image/jpeg", "image/gif"} == types
+    assert {
+        "image/png", "audio/wav", "image/jpeg", "image/gif", "video/avi"
+    } == types
     png_rows = [i for i, t in enumerate(out["media_type"].to_pylist()) if t == "image/png"]
     assert all(out["media_w"][i].as_py() is not None for i in png_rows)
     assert all(out["decode_ok"].to_pylist())
@@ -52,11 +54,12 @@ def test_stub_features_deterministic():
 
 
 def test_strict_stub_raises():
-    # PNG/GIF/JPEG/WAV all have REAL decoders now — video is the one
-    # remaining stubbed type, which strict mode must refuse to fake
-    table = synth_media_table(4)  # one row of each real type
+    # PNG/GIF/JPEG/WAV/AVI all have REAL decoders now — the stub only
+    # remains for codecs with no stdlib decode path (mp4/webm/ogg),
+    # which strict mode must refuse to fake
+    table = synth_media_table(5)  # one row of each real type
     out = MediaDecodeStage(strict=True)(table)
-    assert out["decode_ok"].to_pylist() == [True] * 4
+    assert out["decode_ok"].to_pylist() == [True] * 5
     video = pa.table(
         {
             "media_id": pa.array([0], pa.int64()),
@@ -272,7 +275,7 @@ def test_stage_emits_duration_for_wav(ray_session):
     mt = out["media_type"].to_pylist()
     durs = out["media_duration_ms"].to_pylist()
     for t, d in zip(mt, durs):
-        if t == "audio/wav":
+        if t in ("audio/wav", "video/avi"):
             assert d is not None and d > 0
         else:
             assert d is None
@@ -789,3 +792,124 @@ def test_decoder_valueerror_contract_fuzz():
                 decode(mutated)
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video (real container demux + in-tree JPEG frame decode)
+# ---------------------------------------------------------------------------
+
+def test_avi_roundtrip_meta_and_features():
+    from data_profiler_ray.stages.jpeg import decode_jpeg
+    from data_profiler_ray.stages.multimodal import (
+        avi_movi_frames,
+        avi_video_features,
+        encode_avi,
+        parse_avi_meta,
+        png_pixel_features,
+        sniff_media_type,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(18, 26, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    avi = encode_avi(frames, fps=25)
+    assert sniff_media_type(avi[:24]) == "video/avi"
+    meta = parse_avi_meta(avi)
+    assert meta["width"] == 26 and meta["height"] == 18
+    assert meta["n_frames"] == 4
+    assert meta["duration_ms"] == 4 * (1_000_000 // 25) // 1000  # 160 ms
+    got = avi_movi_frames(avi, meta)
+    assert len(got) == 4
+    # every frame survives the witness JPEG round trip within the
+    # encoder's exactness tolerance (quality-100 Annex-K tables: +-4
+    # for RGB, matching test_jpeg's color round-trip bound)
+    for orig, comp in zip(frames, got):
+        px = decode_jpeg(comp)
+        assert px.shape == orig.shape
+        assert int(np.abs(px.astype(int) - orig.astype(int)).max()) <= 4
+    # features == first-frame thumbnail features
+    want = png_pixel_features(decode_jpeg(got[0]))
+    assert np.array_equal(avi_video_features(avi), want)
+
+
+def test_avi_corrupt_inputs_raise_valueerror():
+    """Mutation fuzz of the AVI ValueError contract (same style as the
+    image decoders): truncations, zero-writes and random flips must
+    decode or raise ValueError — never struct.error/IndexError."""
+    from data_profiler_ray.stages.multimodal import (
+        avi_video_features,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)]
+    payload = encode_avi(frames, fps=10)
+    buf = bytearray(payload)
+    for cut in range(0, len(buf), 7):
+        try:
+            avi_video_features(bytes(buf[:cut]))
+        except ValueError:
+            pass
+    for i in range(len(buf)):
+        old = buf[i]
+        buf[i] = 0
+        try:
+            avi_video_features(bytes(buf))
+        except ValueError:
+            pass
+        finally:
+            buf[i] = old
+    for _ in range(300):
+        i = int(rng.integers(0, len(buf)))
+        old = buf[i]
+        buf[i] = int(rng.integers(0, 256))
+        try:
+            avi_video_features(bytes(buf))
+        except ValueError:
+            pass
+        finally:
+            buf[i] = old
+    # empty movi list is a decode failure, not a silent zero vector
+    import struct as _struct
+    from data_profiler_ray.stages.multimodal import parse_avi_meta
+
+    meta = parse_avi_meta(payload)
+    no_movi = payload[: meta["movi_offset"] - 12]
+    with pytest.raises(ValueError):
+        avi_video_features(bytes(no_movi))
+
+
+def test_stage_avi_metadata_and_features(ray_session):
+    from data_profiler_ray.stages.multimodal import (
+        encode_avi,
+        media_pipeline,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for nf, fps, w, h in [(2, 10, 12, 9), (3, 30, 20, 16)]:
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+        rows.append((encode_avi(frames, fps=fps), nf, fps, w, h))
+    t = pa.table(
+        {
+            "media_id": pa.array(range(len(rows)), pa.int64()),
+            "payload": pa.array([r[0] for r in rows], pa.large_binary()),
+        }
+    )
+    out = (
+        media_pipeline(ray.data.from_arrow(t), batch_size=2)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i, (_, nf, fps, w, h) in enumerate(rows):
+        assert out.loc[i, "media_type"] == "video/avi"
+        assert out.loc[i, "media_w"] == w and out.loc[i, "media_h"] == h
+        assert out.loc[i, "media_duration_ms"] == nf * (1_000_000 // fps) // 1000
+        assert bool(out.loc[i, "decode_ok"])
+        assert float(np.linalg.norm(out.loc[i, "media_features"])) > 0.99
