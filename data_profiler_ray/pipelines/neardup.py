@@ -677,6 +677,16 @@ def neardup_dedup(
         )
     elif method == "simhash":
         pairs = simhash_pairs(ds, text_col=text_col, id_col=id_col, **kwargs)
+    elif method == "jaccard":
+        # EXACT pair phase (prefix-filter self-join, no LSH recall
+        # caveat): clusters are the true transitive closure of the
+        # >= threshold Jaccard graph, so the whole operator — pairs,
+        # union-find, keeper choice — is SQL-oracle-able (recursive-CTE
+        # connected components). The minhash path stays the
+        # corpus-size-independent scale default.
+        pairs = jaccard_join(
+            ds, threshold=threshold, text_col=text_col, id_col=id_col, **kwargs
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
 

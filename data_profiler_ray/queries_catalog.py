@@ -1168,6 +1168,64 @@ def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_neardup_dedup_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Near-dup corpus dedup with the EXACT Jaccard pair phase: prefix
+    filter self-join -> union-find -> min-id keeper per cluster. Fully
+    SQL-oracle-able (the pair set is exact, and transitive closure +
+    min-id is a recursive CTE), unlike the MinHash-LSH scale path —
+    a hash match here certifies the cluster/keeper logic shared by
+    both paths."""
+    from .pipelines.neardup import neardup_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        neardup_dedup(ds, method="jaccard", threshold=0.8)
+        .select_columns(["doc_id", "near_dup_cluster", "near_dup_keep"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# same pair CTEs as _SQL_JACCARD_JOIN (see the 64-bit shingle-collision
+# note there), then undirected transitive closure via a recursive CTE;
+# a component's representative is its smallest member id (min over all
+# ids that can reach the node), matching union-find's min-root rule
+_SQL_NEARDUP_DEDUP_JACCARD = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+    FROM documents WHERE length(text) >= 5
+  )
+),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+ix AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM ix
+  JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
+  WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.v AS node, reach.r FROM reach JOIN edges e ON e.u = reach.node
+),
+comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(coalesce(c.root, d.doc_id) AS BIGINT) AS near_dup_cluster,
+       coalesce(c.root, d.doc_id) = d.doc_id AS near_dup_keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-language sample of the documents table (20 per
     lang, Knuth-hash order) — the training-data quota-sampling step."""
@@ -1607,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pack_shards": q_pack_shards,
         "neardup_dedup": q_neardup_dedup,
+        "neardup_dedup_jaccard": q_neardup_dedup_jaccard,
         "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
         "decontaminate": q_decontaminate,
@@ -1655,6 +1714,9 @@ def oracle_sql() -> dict[str, str]:
         # LSH-prefiltered ngram path certifies its recall on this corpus
         "ngram_jaccard_dedup": _SQL_JACCARD_JOIN,
         "jaccard_join": _SQL_JACCARD_JOIN,
+        # exact pairs + recursive-CTE connected components: hard-signal
+        # cover for the union-find/keeper logic the LSH path shares
+        "neardup_dedup_jaccard": _SQL_NEARDUP_DEDUP_JACCARD,
         # generator-ground-truth VALUES table (decoder-independent)
         "media_metadata": _sql_media_metadata(),
         "tfidf": _SQL_TFIDF,

@@ -421,3 +421,59 @@ def test_jaccard_join_edge_cases(ray_session):
     assert set(zip(out.id_a, out.id_b)) == {(2, 3)}
     with pytest.raises(ValueError):
         jaccard_join(ray.data.from_arrow(t), threshold=0.0)
+
+
+def test_neardup_dedup_jaccard_matches_bruteforce_closure(ray_session):
+    """method="jaccard" cluster/keeper labels vs a brute-force exact
+    Jaccard graph + naive transitive closure (the recursive-CTE oracle
+    semantics)."""
+    from data_profiler_ray.pipelines.neardup import (
+        _shingle_hashes,
+        neardup_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:03d}" for i in range(300)]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=60))
+
+    base = doc()
+    texts = [base + f" x{i}" for i in range(6)]  # one planted cluster
+    texts += [doc() for _ in range(20)]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    out = (
+        neardup_dedup(
+            ray.data.from_arrow(t).repartition(4),
+            method="jaccard",
+            threshold=0.8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force: exact pairwise Jaccard, then closure with min-id roots
+    sets = [set(_shingle_hashes(x).tolist()) for x in texts]
+    root = list(ids)
+
+    def find(x):
+        while root[x] != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+
+    for a in ids:
+        for b in ids[a + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.8:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    root[max(ra, rb)] = min(ra, rb)
+    expect = [find(i) for i in ids]
+    assert out.near_dup_cluster.tolist() == expect
+    assert out.near_dup_keep.tolist() == [i == r for i, r in zip(ids, expect)]
+    # the planted cluster actually clustered (test isn't vacuous)
+    assert expect[5] == 0
