@@ -192,6 +192,8 @@ def bench_queries() -> dict:
         "neardup_dedup",
         "decontaminate",
         "tfidf",
+        "repetition_signals",
+        "quantile_band_filter",
     ]
     # peak-RSS is sampled for the two historically most expensive
     # queries (r3 verdict item #7 — streaming-memory evidence)

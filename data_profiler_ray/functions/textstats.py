@@ -124,3 +124,119 @@ def fingerprint_overlap(a: str, b: str, **kw) -> float:
     if len(fa) == 0:
         return 0.0
     return float(np.isin(fa, fb).mean())
+
+
+def repetition_signals(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document word-repetition quality signals (the Gopher rules
+    family, Rae et al. 2021 "Scaling Language Models", appendix A1.1 —
+    public heuristics for filtering low-quality repetitive web text):
+
+    - ``n_words``: whitespace token count (split on single spaces, empty
+      tokens dropped — the corpus tokenization contract shared with
+      tfidf);
+    - ``dup_word_frac``: ``1 - distinct_words / n_words`` — fraction of
+      word occurrences that repeat an earlier word;
+    - ``top_2gram_chars_frac``: characters covered by occurrences of the
+      MODAL word 2-gram divided by the document's character length
+      (modal = highest count, ties broken by smallest gram string so
+      both this and the SQL oracle are deterministic);
+    - ``dup_3gram_frac``: ``1 - distinct_3grams / n_3grams`` — fraction
+      of word-3-gram occurrences that are duplicates.
+
+    Documents with too few words for a window (or empty/null text) score
+    0 on the affected signals. One output row per input row; the whole
+    document lives in its row, so every signal completes within the
+    batch — a stateless ``map_batches`` stage, no shuffle. Fractions are
+    rounded half-away-from-zero to 6 decimals (oracle convention).
+
+    Reference parity note: the reference has no per-doc repetition
+    profiler; its nearest analog is the duplicate-row counter
+    (api/services/profile.py dedup counters). This operator is part of
+    the beyond-the-reference training-data toolkit the task brief asks
+    for.
+    """
+    import pandas as pd
+
+    from ..queries_catalog import _round_away
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    n_rows = len(ids)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+
+    toks = pc.split_pattern(texts, pattern=" ")
+    words = toks.flatten().to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = words != ""
+    words, parents = words[keep], parents[keep]
+
+    n_words = np.zeros(n_rows, dtype=np.int64)
+    dup_word = np.zeros(n_rows, dtype=np.float64)
+    top2 = np.zeros(n_rows, dtype=np.float64)
+    dup3 = np.zeros(n_rows, dtype=np.float64)
+
+    if len(words):
+        wdf = pd.DataFrame({"p": parents, "w": words})
+        ws = wdf.groupby("p", sort=False)["w"].agg(["size", "nunique"])
+        n_words[ws.index.to_numpy()] = ws["size"].to_numpy()
+        nz = ws.index.to_numpy()
+        dup_word[nz] = 1.0 - ws["nunique"].to_numpy(np.float64) / ws[
+            "size"
+        ].to_numpy(np.float64)
+
+        # adjacent-pair mask: tokens i, i+1 form a 2-gram iff same doc
+        adj = parents[1:] == parents[:-1]
+        if adj.any():
+            w1 = pd.Series(words[:-1][adj])
+            g2 = pd.DataFrame(
+                {"p": parents[:-1][adj], "g": w1 + " " + pd.Series(words[1:][adj])}
+            )
+            cnt = (
+                g2.groupby(["p", "g"], sort=False).size().reset_index(name="c")
+            )
+            cnt["gl"] = cnt["g"].str.len()
+            # modal gram per doc: max count, tie -> smallest gram string
+            cnt = cnt.sort_values(["p", "c", "g"], ascending=[True, False, True])
+            top = cnt.drop_duplicates("p", keep="first")
+            pidx = top["p"].to_numpy()
+            denom = n_chars[pidx].astype(np.float64)
+            frac = np.where(
+                denom > 0,
+                top["c"].to_numpy(np.float64) * top["gl"].to_numpy(np.float64)
+                / np.where(denom > 0, denom, 1.0),
+                0.0,
+            )
+            top2[pidx] = frac
+
+            tri = adj[1:] & adj[:-1]
+            if tri.any():
+                g3 = pd.DataFrame(
+                    {
+                        "p": parents[:-2][tri],
+                        "g": pd.Series(words[:-2][tri])
+                        + " "
+                        + pd.Series(words[1:-1][tri])
+                        + " "
+                        + pd.Series(words[2:][tri]),
+                    }
+                )
+                gs = g3.groupby("p", sort=False)["g"].agg(["size", "nunique"])
+                gi = gs.index.to_numpy()
+                dup3[gi] = 1.0 - gs["nunique"].to_numpy(np.float64) / gs[
+                    "size"
+                ].to_numpy(np.float64)
+
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "n_words": pa.array(n_words),
+            "dup_word_frac": pa.array(_round_away(dup_word, 6)),
+            "top_2gram_chars_frac": pa.array(_round_away(top2, 6)),
+            "dup_3gram_frac": pa.array(_round_away(dup3, 6)),
+        }
+    )

@@ -1168,6 +1168,98 @@ def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quantile_band_filter(sf_dir: str) -> pd.DataFrame:
+    """Distribution-relative outlier trim: keep documents whose n_chars
+    lies in the corpus's exact [p10, p90] band (histogram-refinement
+    quantiles -> broadcast scalar thresholds -> stateless filter)."""
+    from .pipelines.filtering import quantile_band_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = quantile_band_filter(ds, col="n_chars", lo_pct=10, hi_pct=90)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_QUANTILE_BAND_FILTER = """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.10) AS lo,
+         quantile_cont(n_chars, 0.90) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars >= lo AND n_chars <= hi
+ORDER BY doc_id
+"""
+
+
+def q_repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style per-document word-repetition quality signals (Rae et
+    al. 2021 A1.1): duplicate-word fraction, modal-2-gram character
+    coverage, duplicate-3-gram fraction. Stateless map_batches — the
+    whole doc is one row, so every signal completes in-batch."""
+    from .functions.textstats import repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(repetition_signals, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# word lists via string_split(' ') with empties dropped (the shared
+# tokenization contract); modal 2-gram tie-break = smallest gram string,
+# matching the Ray side's deterministic sort
+_SQL_REPETITION_SIGNALS = """
+WITH tok AS (
+  SELECT doc_id, length(coalesce(text, '')) AS nc,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+t2 AS (SELECT doc_id, nc, ws, len(ws) AS nw FROM tok),
+uw AS (SELECT doc_id, unnest(ws) AS wd FROM t2),
+wstats AS (
+  SELECT doc_id, count(*) AS nw, count(DISTINCT wd) AS dw FROM uw GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id, nc,
+         unnest(list_transform(range(1, nw), i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM t2 WHERE nw >= 2
+),
+g2top AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+    FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+  ) WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, nw - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM t2 WHERE nw >= 3
+),
+g3stats AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dist FROM g3 GROUP BY 1
+)
+SELECT t.doc_id,
+  CAST(coalesce(s.nw, 0) AS BIGINT) AS n_words,
+  round(CASE WHEN coalesce(s.nw, 0) = 0 THEN 0
+             ELSE 1.0 - s.dw::DOUBLE / s.nw END, 6) AS dup_word_frac,
+  round(CASE WHEN p.c IS NULL OR t.nc = 0 THEN 0
+             ELSE p.c * length(p.g)::DOUBLE / t.nc END, 6)
+    AS top_2gram_chars_frac,
+  round(CASE WHEN g3stats.tot IS NULL THEN 0
+             ELSE 1.0 - g3stats.dist::DOUBLE / g3stats.tot END, 6)
+    AS dup_3gram_frac
+FROM t2 t
+LEFT JOIN wstats s USING (doc_id)
+LEFT JOIN g2top p USING (doc_id)
+LEFT JOIN g3stats USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def q_neardup_dedup_jaccard(sf_dir: str) -> pd.DataFrame:
     """Near-dup corpus dedup with the EXACT Jaccard pair phase: prefix
     filter self-join -> union-find -> min-id keeper per cluster. Fully
@@ -1650,6 +1742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "embedding_near_dup": q_embedding_near_dup,
         "doc_quality": q_doc_quality,
+        "repetition_signals": q_repetition_signals,
+        "quantile_band_filter": q_quantile_band_filter,
         "repo_stats": q_repo_stats,
         "dup_line_stats": q_dup_line_stats,
         "minhash_near_dup": q_minhash_near_dup,
@@ -1700,6 +1794,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _SQL_RANGE_JOIN,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "doc_quality": _SQL_DOC_QUALITY,
+        "repetition_signals": _SQL_REPETITION_SIGNALS,
+        "quantile_band_filter": _SQL_QUANTILE_BAND_FILTER,
         "repo_stats": _SQL_REPO_STATS,
         "dup_line_stats": _SQL_DUP_LINE_STATS,
         "type_inference_summary": _SQL_TYPE_INFERENCE,

@@ -1,0 +1,63 @@
+"""quantile_band_filter vs numpy ground truth (np.percentile 'linear'
+== exact_quantiles == DuckDB quantile_cont)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.filtering import quantile_band_filter
+
+
+def _ds(vals, ray_session, parts=3):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(vals)), pa.int64()),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+def test_band_matches_numpy_percentile(ray_session):
+    rng = np.random.default_rng(5)
+    vals = rng.normal(100, 25, size=400).round(3)
+    ds = _ds(list(vals), ray_session)
+    out = (
+        quantile_band_filter(ds, col="v", lo_pct=10, hi_pct=90)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    lo, hi = np.percentile(vals, [10, 90], method="linear")
+    expect = np.where((vals >= lo) & (vals <= hi))[0]
+    assert out.doc_id.tolist() == expect.tolist()
+    # partition invariance
+    out1 = (
+        quantile_band_filter(_ds(list(vals), ray_session, parts=11), col="v")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out1.doc_id.tolist() == expect.tolist()
+
+
+def test_band_null_handling(ray_session):
+    vals = [1.0, None, 2.0, 3.0, None, 4.0, 100.0]
+    ds = _ds(vals, ray_session)
+    dropped = quantile_band_filter(ds, col="v", lo_pct=0, hi_pct=90).to_pandas()
+    assert None not in dropped.v.tolist() and not dropped.v.isna().any()
+    kept = quantile_band_filter(
+        ds, col="v", lo_pct=0, hi_pct=90, keep_nulls=True
+    ).to_pandas()
+    assert kept.v.isna().sum() == 2
+
+
+def test_band_rejects_bad_percentiles(ray_session):
+    ds = _ds([1.0, 2.0], ray_session, parts=1)
+    with pytest.raises(ValueError):
+        quantile_band_filter(ds, col="v", lo_pct=80, hi_pct=20)
+
+
+def test_band_all_null_column(ray_session):
+    ds = _ds([None, None, None], ray_session, parts=1)
+    assert quantile_band_filter(ds, col="v").count() == 0
+    assert quantile_band_filter(ds, col="v", keep_nulls=True).count() == 3

@@ -58,3 +58,42 @@ def test_fingerprint_overlap_detects_containment():
     combined = base + other
     assert fingerprint_overlap(base, combined) > 0.95
     assert fingerprint_overlap(base, other) < 0.2
+
+
+def test_repetition_signals_hand_computed():
+    import pyarrow as pa
+
+    from data_profiler_ray.functions.textstats import repetition_signals
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a b a b c", "x x x x", "", "hello", None], pa.string()
+            ),
+        }
+    )
+    out = repetition_signals(t).to_pandas().set_index("doc_id")
+
+    # doc 0: words a,b,a,b,c -> 5 words, 3 distinct; modal 2-gram "a b"
+    # (count 2, 3 chars) over 9 chars; 3 distinct 3-grams of 3
+    assert out.loc[0, "n_words"] == 5
+    assert out.loc[0, "dup_word_frac"] == 0.4
+    assert out.loc[0, "top_2gram_chars_frac"] == round(2 * 3 / 9, 6)
+    assert out.loc[0, "dup_3gram_frac"] == 0.0
+
+    # doc 1: "x x x x" -> modal "x x" count 3 (overlapping occurrences
+    # overlap-count, so char coverage may exceed 1 by design);
+    # 3-grams: "x x x" twice -> dup fraction 0.5
+    assert out.loc[1, "n_words"] == 4
+    assert out.loc[1, "dup_word_frac"] == 0.75
+    assert out.loc[1, "top_2gram_chars_frac"] == round(3 * 3 / 7, 6)
+    assert out.loc[1, "dup_3gram_frac"] == 0.5
+
+    # empty / single-word / null rows: all signals zero
+    for d in (2, 3, 4):
+        assert out.loc[d, "dup_word_frac"] == 0.0
+        assert out.loc[d, "top_2gram_chars_frac"] == 0.0
+        assert out.loc[d, "dup_3gram_frac"] == 0.0
+    assert out.loc[3, "n_words"] == 1
+    assert out.loc[2, "n_words"] == 0 and out.loc[4, "n_words"] == 0
