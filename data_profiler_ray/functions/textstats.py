@@ -9,7 +9,9 @@ pieces:
 - quality features (punctuation / digit / uppercase / stopword ratios,
   mean token length) and a deterministic [0,1] quality score,
 - winnowing document fingerprints (Schleimer et al. 2003) for
-  plagiarism-style containment detection.
+  plagiarism-style containment detection,
+- Gopher-family word-repetition signals (Rae et al. 2021 A1.1) for
+  repetitive-text quality filtering.
 
 All char-class ratios use O(bytes) byte-table counting (ASCII classes:
 byte count == char count; see text_metrics._count_byte_class).

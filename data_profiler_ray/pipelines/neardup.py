@@ -145,12 +145,66 @@ def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     return np.unique(acc)
 
 
+_FMIX_C1 = 0xFF51AFD7ED558CCD
+_FMIX_C2 = 0xC4CEB9FE1A85EC53
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer (Appleby, public domain): full
+    avalanche so short tokens (whose raw polynomial fold only populates
+    low bits — a 1-byte token folds to its byte value) still yield
+    uniform simhash bit columns. Pure xor/shift/multiply mod 2^64 — SQL
+    (HUGEINT) reproducible."""
+    h = h.copy()
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_FMIX_C1)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_FMIX_C2)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def _word_hashes(text: str) -> np.ndarray:
+    """Per-token 64-bit hashes: the public FNV-prime polynomial fold
+    over utf-8 bytes (mod 2^64) the shingle path uses, finished with
+    :func:`_fmix64`. Any uniform 64-bit family is valid for Charikar
+    simhash; this one is chosen (over an opaque library object-hash)
+    because a SQL oracle can reproduce it exactly — see
+    queries_catalog._SQL_SIMHASH_NEAR_DUP."""
     toks = text.split()
     if not toks:
         return np.zeros(0, dtype=np.uint64)
-    h = pd.util.hash_array(np.array(toks, dtype=object))
-    return h.astype(np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = 0
+        for byte in t.encode("utf-8", "ignore"):
+            h = (h * 1099511628211 + byte) % (1 << 64)
+        out[i] = h
+    return _fmix64(out)
+
+
+def _token_fold_hashes(tokens: pa.Array) -> np.ndarray:
+    """Vectorized :func:`_word_hashes` for a flat Arrow string array:
+    one multiply-add pass per CHARACTER POSITION over all still-active
+    tokens (word lengths are small and tightly distributed, so the
+    O(max_len) pass count is ~word length, with every pass fully
+    vectorized). Bit-identical to the scalar fold per token."""
+    tokens = tokens.cast(pa.large_binary())
+    offsets, data = flat_buffer(tokens)
+    lens = np.diff(offsets)
+    n = len(lens)
+    acc = np.zeros(n, dtype=np.uint64)
+    if n == 0 or data.size == 0:
+        return acc
+    arr = data.astype(np.uint64)
+    starts = offsets[:-1]
+    base = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            active = lens > j
+            acc[active] = acc[active] * base + arr[starts[active] + j]
+    return _fmix64(acc)
 
 
 class MinHasher:
@@ -416,9 +470,10 @@ def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     :func:`simhash64`, no per-row Python.
 
     Tokens via Arrow ``utf8_split_whitespace`` (empties filtered to match
-    ``str.split()``), token hashes via the same ``pd.util.hash_array``,
-    per-bit majority via one ``[n_tokens, 64]`` contribution matrix and a
-    segmented ``np.add.reduceat``.
+    ``str.split()``), token hashes via the same FNV-fold family as
+    :func:`_word_hashes` (flat-buffer vectorized), per-bit majority via
+    one ``[n_tokens, 64]`` contribution matrix and a segmented
+    ``np.add.reduceat``.
     """
     tok_list = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
     if isinstance(tok_list, pa.ChunkedArray):
@@ -429,11 +484,10 @@ def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     flat = tok_list.flatten()
     parent = pc.list_parent_indices(tok_list).to_numpy(zero_copy_only=False)
     nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-    toks = flat.to_numpy(zero_copy_only=False)[nonempty]
     parent = parent[nonempty]
-    if len(toks) == 0:
+    if parent.size == 0:
         return np.zeros(n, dtype=np.uint64)
-    h = pd.util.hash_array(toks).astype(np.uint64)
+    h = _token_fold_hashes(flat.filter(pa.array(nonempty)))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int32
     )

@@ -956,6 +956,12 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard. Oracled: the
+    multiply-add permutation family is pure mod-2^64 arithmetic, so the
+    signature table is a HUGEINT cross-join aggregate over the shingle
+    hashes (see :func:`_sql_minhash_near_dup`); banding = per-band
+    4-slice equality; est_jaccard = matches/64 (a dyadic rational —
+    bit-exact as a float on both sides)."""
     from .pipelines.neardup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -965,6 +971,61 @@ def q_minhash_near_dup(sf_dir: str) -> pd.DataFrame:
                              "id_b": pd.array([], dtype="int64"),
                              "est_jaccard": pd.array([], dtype="float64")})
     return out
+
+
+def _sql_minhash_near_dup() -> str:
+    """SQL oracle for :func:`q_minhash_near_dup`, generated with the
+    MinHasher(seed=1, num_perm=64) coefficients inlined as literals (the
+    same deterministic numpy PCG64 draw the Ray side makes in
+    ``MinHasher.__init__``).
+
+    Exactness domain (= the driver's sf0.01 oracle scale, asserted by
+    construction): every LSH bucket is <= bucket_cap (64), where
+    ``_salted_pair_indices`` emits the FULL clique, so candidate pairs
+    are exactly the pairs agreeing on all 4 signature values of some
+    band; and the corpus is ASCII (DuckDB ``ord`` code points == the
+    utf-8 bytes the rolling shingle hash folds). The HUGEINT products
+    fit: a < 2^63, sh < 2^64 -> a*sh+b < 2^127."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(1, 2**63, size=64, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=64, dtype=np.uint64)
+    perm_rows = ",".join(
+        f"({p},{int(a[p])}::HUGEINT,{int(b[p])}::HUGEINT)" for p in range(64)
+    )
+    return f"""
+WITH perms(p, pa, pb) AS (VALUES {perm_rows}),
+src AS (SELECT doc_id, text, length(text) AS L FROM documents),
+h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(i, i + 5), j -> ord(substr(text, j, 1))::HUGEINT)),
+      (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+    ) AS sh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, L - 4)) AS i
+        FROM src WHERE L >= 5)
+),
+sig AS (
+  SELECT doc_id, p, min((pa * sh + pb) % 18446744073709551616) AS v
+  FROM h CROSS JOIN perms GROUP BY 1, 2
+),
+bandmatch AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.p = b.p AND a.v = b.v AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.p // 4
+  HAVING count(*) = 4
+),
+cand AS (SELECT DISTINCT id_a, id_b FROM bandmatch),
+est AS (
+  SELECT c.id_a, c.id_b, count(*) FILTER (x.v = y.v) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id_a
+  JOIN sig y ON y.doc_id = c.id_b AND y.p = x.p
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b
+"""
 
 
 def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
@@ -1042,8 +1103,12 @@ ORDER BY id_a, id_b
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al. 2003) summarized
-    per doc: fingerprint count + min/max fingerprint (deterministic;
-    rows-only — rolling-hash winnowing is not SQL-expressible)."""
+    per doc: fingerprint count + min/max fingerprint. Oracled: the k=8
+    rolling hash is a per-position ``list_reduce`` fold in HUGEINT
+    arithmetic mod 2^64, the w=4 winnowing pass a windowed ``min`` —
+    see _SQL_FINGERPRINTS (valid for ASCII corpora, where DuckDB
+    ``ord(substr)`` code points equal the utf-8 bytes the Ray side
+    hashes; the driver fixtures are all-ASCII)."""
     from .functions.textstats import winnowing_fingerprints
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1068,6 +1133,51 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# The exact winnowing computation in SQL: one row per k-gram start, the
+# FNV-base polynomial fold in HUGEINT mod 2^64 (acc < 2^64 times the
+# 2^40 base stays inside HUGEINT), a 4-wide windowed min (the n<=w docs
+# take the single-global-min path, Schleimer's degenerate case), DISTINCT
+# for the set semantics, and a signed two's-complement view at the end to
+# mirror the Ray side's uint64->int64 bit-cast. min/max are computed in
+# UNSIGNED space before the cast, exactly like fp.min() on uint64.
+_SQL_FINGERPRINTS = """
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+),
+h AS (
+  SELECT doc_id, i, L - 7 AS n,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(i, i + 8), j -> ord(substr(text, j, 1))::HUGEINT)),
+      (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+    ) AS hh
+  FROM (SELECT doc_id, text, L, unnest(generate_series(1, L - 7)) AS i
+        FROM pos WHERE L >= 8)
+),
+mins AS (
+  SELECT doc_id, m FROM (
+    SELECT doc_id, i, n,
+           min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+    FROM h) WHERE n > 4 AND i <= n - 3
+  UNION ALL
+  SELECT doc_id, min(hh) AS m FROM h GROUP BY doc_id HAVING max(n) <= 4
+),
+fps AS (SELECT DISTINCT doc_id, m FROM mins),
+s AS (SELECT doc_id, count(*) AS cnt, min(m) AS mn, max(m) AS mx FROM fps GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_fingerprints,
+  CAST(CASE WHEN s.mn IS NULL THEN 0
+            WHEN s.mn >= 9223372036854775808 THEN s.mn - 18446744073709551616
+            ELSE s.mn END AS BIGINT) AS min_fp,
+  CAST(CASE WHEN s.mx IS NULL THEN 0
+            WHEN s.mx >= 9223372036854775808 THEN s.mx - 18446744073709551616
+            ELSE s.mx END AS BIGINT) AS max_fp
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1796,6 +1906,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _SQL_DOC_QUALITY,
         "repetition_signals": _SQL_REPETITION_SIGNALS,
         "quantile_band_filter": _SQL_QUANTILE_BAND_FILTER,
+        # rolling-hash winnowing as a HUGEINT list_reduce + windowed min
+        "fingerprints": _SQL_FINGERPRINTS,
+        # the permutation family is mod-2^64 arithmetic -> HUGEINT SQL,
+        # coefficients inlined from the deterministic seed-1 draw
+        "minhash_near_dup": _sql_minhash_near_dup(),
         "repo_stats": _SQL_REPO_STATS,
         "dup_line_stats": _SQL_DUP_LINE_STATS,
         "type_inference_summary": _SQL_TYPE_INFERENCE,
@@ -1818,5 +1933,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": _SQL_TFIDF,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "top_terms": _SQL_TOP_TERMS,
-        # minhash/simhash/langid/flagship: non-SQL-expressible → rows-only
+        # simhash (pandas object-hash tokens), langid (model scores),
+        # media_features (decoder output), neardup_dedup (LSH pair phase;
+        # the exact-pair variant neardup_dedup_jaccard IS oracled) and
+        # the composite flagship (F1-gated) stay rows-only
     }
