@@ -1029,6 +1029,12 @@ WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b
 
 
 def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Charikar-simhash near-dup pairs (Hamming <= 3, 4x16-bit band
+    blocking). Oracled: the token-hash family is an FNV fold + murmur
+    fmix64 finalizer — pure mod-2^64 arithmetic, reproduced in HUGEINT
+    SQL (the 64x64-bit fmix multiplies overflow INT128, so the oracle
+    splits them into 32-bit halves — see :func:`_sql_simhash_near_dup`);
+    per-bit majority vote and banding are plain aggregates."""
     from .pipelines.neardup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1037,7 +1043,82 @@ def q_simhash_near_dup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"id_a": pd.array([], dtype="int64"),
                              "id_b": pd.array([], dtype="int64"),
                              "hamming": pd.array([], dtype="int64")})
-    return out
+    return out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+
+
+def _sql_simhash_near_dup() -> str:
+    """SQL oracle for :func:`q_simhash_near_dup`: per-token FNV-prime
+    polynomial fold over code points (== utf-8 bytes on the ASCII
+    fixtures) finished with the MurmurHash3 fmix64 avalanche, per-bit
+    majority vote weighted by token multiplicity, 4x16-bit banding, and
+    ``bit_count(xor(...))`` Hamming distance.
+
+    The fmix64 multiplies are 64-bit x 64-bit mod 2^64 — the full
+    product can reach 2^128 and overflow HUGEINT (INT128), so each is
+    split into 32-bit halves: with ``x = x1*2^32 + x0`` and constant
+    ``c = c1*2^32 + c0``, ``x*c mod 2^64 = (x0*c0 + ((x0*c1 + x1*c0)
+    mod 2^32) * 2^32) mod 2^64`` — every intermediate < 2^65. The
+    xor-shifts use ``// 2^33`` (logical shift for non-negative values).
+
+    Exactness domain: ASCII corpus (``ord(substr)`` == byte fold) and
+    every (band, bval) bucket <= bucket_cap (256) members, where
+    ``_salted_pair_indices`` emits the full clique — both hold for the
+    driver fixtures by construction."""
+
+    def mulmod(x: str, c: int) -> str:
+        c0, c1 = c % (1 << 32), c >> 32
+        return (
+            f"((({x}) % 4294967296) * {c0} + "
+            f"(((({x}) % 4294967296) * {c1} + (({x}) // 4294967296) * {c0})"
+            f" % 4294967296) * 4294967296) % 18446744073709551616"
+        )
+
+    def xs(x: str) -> str:
+        return f"xor(({x}), ({x}) // 8589934592)"
+
+    c1 = 0xFF51AFD7ED558CCD  # murmur3 fmix64 constants (Appleby, PD)
+    c2 = 0xC4CEB9FE1A85EC53
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*)::HUGEINT AS cnt
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id, cnt,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(1, length(tok) + 1), j -> ord(substr(tok, j, 1))::HUGEINT)),
+      (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+    ) AS h0,
+    {xs('h0')} AS s1,
+    {mulmod('s1', c1)} AS m1,
+    {xs('m1')} AS s2,
+    {mulmod('s2', c2)} AS m2,
+    {xs('m2')} AS fh
+  FROM toks
+),
+bits AS (SELECT unnest(range(0, 64)) AS i),
+v AS (
+  SELECT doc_id, i, sum(cnt * (2 * ((fh // (1::HUGEINT << i)) % 2) - 1)) AS vote
+  FROM th CROSS JOIN bits GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN vote > 0 THEN 1::HUGEINT << i ELSE 0 END) AS sig
+  FROM v GROUP BY 1
+),
+banded AS (
+  SELECT doc_id, sig, b, (sig // (1::HUGEINT << (16 * b))) % 65536 AS bval
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM banded a JOIN banded b ON a.b = b.b AND a.bval = b.bval AND b.doc_id > a.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
 
 
 def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
@@ -1911,6 +1992,8 @@ def oracle_sql() -> dict[str, str]:
         # the permutation family is mod-2^64 arithmetic -> HUGEINT SQL,
         # coefficients inlined from the deterministic seed-1 draw
         "minhash_near_dup": _sql_minhash_near_dup(),
+        # fmix64 token hashes via 32-bit-split HUGEINT multiplies
+        "simhash_near_dup": _sql_simhash_near_dup(),
         "repo_stats": _SQL_REPO_STATS,
         "dup_line_stats": _SQL_DUP_LINE_STATS,
         "type_inference_summary": _SQL_TYPE_INFERENCE,
@@ -1933,8 +2016,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": _SQL_TFIDF,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "top_terms": _SQL_TOP_TERMS,
-        # simhash (pandas object-hash tokens), langid (model scores),
-        # media_features (decoder output), neardup_dedup (LSH pair phase;
-        # the exact-pair variant neardup_dedup_jaccard IS oracled) and
-        # the composite flagship (F1-gated) stay rows-only
+        # langid (model scores), media_features (decoder output),
+        # neardup_dedup (LSH pair phase; the exact-pair variant
+        # neardup_dedup_jaccard IS oracled) and the composite flagship
+        # (F1-gated) stay rows-only
     }
