@@ -5,8 +5,11 @@ Public-knowledge algorithms (Broder 1997 MinHash; Indyk-Motwani LSH;
 Charikar 2002 SimHash) composed Ray-Data-first:
 
     map_batches(signatures)  ->  explode (band, band_hash, id) rows
-      ->  groupby(band, band_hash)   # THE shuffle; key is a uniform hash
-      ->  per-bucket candidate pairs (bucket size capped — hot-bucket guard)
+      ->  groupby(hash(band, band_hash) % n_buckets)   # THE shuffle —
+          a COARSE key so the per-group Python callback count is fixed,
+          not corpus-proportional
+      ->  per-coarse-bucket: sort by the exact LSH key, expand run
+          cliques vectorized (size-capped — hot-bucket salting guard)
       ->  estimate/verify  ->  distinct pairs
 
 Nothing materializes the corpus: signatures are fixed-size, buckets are
@@ -101,6 +104,61 @@ def _salted_pair_indices(n: int, cap: int, kind: str) -> tuple[np.ndarray, np.nd
     out_i.append(starts[ri])
     out_j.append(starts[rj])
     return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _group_runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of equal-key runs in lexicographically PRE-SORTED
+    parallel key arrays — exact comparisons, no hashing."""
+    n = len(keys[0])
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change).astype(np.int64)
+    lens = np.diff(np.r_[starts, n]).astype(np.int64)
+    return starts, lens
+
+
+def _runs_pair_indices(
+    run_starts: np.ndarray, run_lens: np.ndarray, cap: int, kind: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_salted_pair_indices` for MANY bucket runs at once, each
+    offset by its run start — with the common case (run <= cap: full
+    clique) fully vectorized ACROSS runs. One pass per pair DISTANCE
+    ``d``: every run of length m emits its (i, i+d) pairs for
+    i in [start, start+m-d) via a ragged arange, so the pass count is
+    bounded by the longest sub-cap run (< cap) and total work equals the
+    number of emitted pairs. Over-cap runs (rare; the salted path logs
+    them) fall back to the per-run salted generator."""
+    small = run_lens <= cap
+    iu_parts: list[np.ndarray] = []
+    ju_parts: list[np.ndarray] = []
+    s_small, m_small = run_starts[small], run_lens[small]
+    if m_small.size:
+        for d in range(1, int(m_small.max())):
+            act = m_small > d
+            if not act.any():
+                break
+            starts_d = s_small[act]
+            counts_d = m_small[act] - d
+            tot = int(counts_d.sum())
+            base = np.repeat(
+                starts_d - np.r_[0, np.cumsum(counts_d)[:-1]], counts_d
+            )
+            i = base + np.arange(tot, dtype=np.int64)
+            iu_parts.append(i)
+            ju_parts.append(i + d)
+    for s, m in zip(run_starts[~small], run_lens[~small]):
+        ri, rj = _salted_pair_indices(int(m), cap, kind)
+        iu_parts.append(ri + s)
+        ju_parts.append(rj + s)
+    if not iu_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(iu_parts), np.concatenate(ju_parts)
 
 
 def pairs_to_clusters(pairs: pd.DataFrame) -> dict:
@@ -341,6 +399,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     bucket_cap: int = 64,
     seed: int = 1,
+    n_buckets: int = 256,
 ) -> pd.DataFrame:
     """Candidate pairs whose MinHash-estimated Jaccard >= threshold.
 
@@ -348,6 +407,12 @@ def minhash_lsh_pairs(
     any band agrees. Buckets larger than ``bucket_cap`` are SALTED into
     connected sub-buckets (:func:`_salted_pair_indices`) — bounded
     per-bucket work, no silent pair loss.
+
+    ``n_buckets`` sizes the candidate shuffle's COARSE routing key (see
+    the in-function comment): one per-group Python callback per coarse
+    bucket, each holding ~``rows x bands / n_buckets`` 20-byte band rows
+    — size it so that fits a worker heap (the default is right up to
+    ~10^9 documents; scale it linearly beyond).
 
     The corpus is scanned ONCE: the signature table (~8·num_perm bytes
     per doc — tiny next to the documents) is materialized in the object
@@ -404,13 +469,36 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
+    # Candidate generation shuffles on a COARSE bucket (a hash of the
+    # LSH key mod n_buckets), not on (band, bhash) itself: map_groups
+    # runs one Python callback per GROUP, and LSH-bucket count grows
+    # with the corpus — per-(band,bhash) grouping means millions of
+    # per-group interpreter round-trips at scale. With coarse buckets
+    # the callback count is n_buckets, and each callback re-sorts its
+    # batch by the EXACT (band, bhash) key and expands run cliques
+    # vectorized (:func:`_runs_pair_indices`). Routing-hash collisions
+    # are harmless: pairs still require exact key-run equality.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = bh * np.uint64(0x9E3779B97F4A7C15) + band
+        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
     def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        iu, ju = _salted_pair_indices(len(ids), bucket_cap, "minhash-lsh")
+        band = g["band"].to_numpy()
+        bh = g["bhash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        starts, lens = _group_runs(band, bh)
+        iu, ju = _runs_pair_indices(starts, lens, bucket_cap, "minhash-lsh")
         return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
     cand = (
-        banded.groupby(["band", "bhash"])
+        banded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(bucket_candidates, batch_format="pandas")
         .to_pandas()
     )
@@ -512,6 +600,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 256,
+    n_buckets: int = 256,
 ) -> pd.DataFrame:
     """Near-dup pairs with simhash Hamming distance <= max_hamming.
 
@@ -521,6 +610,12 @@ def simhash_pairs(
     ``groupby`` shuffle (the round-1 version ran 4 shuffles, each
     collected to the driver); Hamming distances use a vectorized byte-LUT
     popcount.
+
+    The shuffle key is a COARSE hash of (band, bval) mod ``n_buckets``
+    (callback count = n_buckets, not the corpus-proportional LSH-bucket
+    count); each group callback re-sorts by the exact key and expands
+    run cliques vectorized — same design and sizing contract as
+    :func:`minhash_lsh_pairs`.
     """
 
     def sign_explode(batch: pa.Table) -> pa.Table:
@@ -542,11 +637,23 @@ def simhash_pairs(
 
     exploded = ds.map_batches(sign_explode, batch_format="pyarrow")
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bv = batch["bval"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = bv * np.uint64(0x9E3779B97F4A7C15) + band
+        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
+        band = g["band"].to_numpy()
+        bv = g["bval"].to_numpy()
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        iu, ju = _salted_pair_indices(len(ids), bucket_cap, "simhash")
+        order = np.lexsort((ids, bv, band))
+        band, bv, ids, hs = band[order], bv[order], ids[order], hs[order]
+        starts, lens = _group_runs(band, bv)
+        iu, ju = _runs_pair_indices(starts, lens, bucket_cap, "simhash")
         if len(iu) == 0:
             return pd.DataFrame(
                 {
@@ -562,7 +669,8 @@ def simhash_pairs(
         )
 
     pairs = (
-        exploded.groupby(["band", "bval"])
+        exploded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
