@@ -1,0 +1,193 @@
+"""Corpus-wide exact duplicate-SPAN statistics (substring-level dedup).
+
+Document-level dedup (``pipelines/dedup.py``) misses the dominant
+contamination mode of web-scale corpora: long byte spans (boilerplate,
+licenses, templated text) repeated across otherwise-distinct documents.
+The public algorithm family is Lee et al. 2021, "Deduplicating Training
+Data Makes Language Models Better" (exact substring matching at a fixed
+minimum length; their implementation builds a corpus suffix array).
+This is the map-reduce re-expression at the same O(corpus bytes)
+exchange scale: fixed-length window fingerprints instead of suffix
+ranks, which Ray Data can shuffle without any shared index.
+
+Shape:
+
+1. ONE corpus scan (``map_batches``): every length-``span_bytes`` byte
+   window of every document is fingerprinted with the repo's standard
+   FNV-fold (vectorized multiply-add over the batch's FLAT buffer —
+   ``span_bytes`` vectorized passes total, windows crossing document
+   boundaries masked out), then a per-batch pandas C-groupby emits one
+   ``(doc_id, h, npos)`` row per DISTINCT (document, fingerprint) —
+   the batch-local combiner.
+2. THE shuffle: ``groupby(hash(h) % n_buckets)`` — coarse-keyed like
+   the near-dup candidate phase, so the per-group Python callback count
+   is ``n_buckets``, not corpus-proportional. Each group callback sorts
+   by the exact fingerprint, marks runs whose total occurrence count is
+   >= 2 (duplicated spans — across documents or repeated within one),
+   and emits per-(bucket, doc) PARTIAL sums. Exchange volume is one
+   ~24 B row per distinct (doc, span) — the inherent cost of exact
+   substring dedup (a suffix array is the same O(corpus) scale).
+3. A small ``groupby(doc_id)`` Sum merges the n_buckets partials into
+   per-document totals; ``dup_frac = n_dup_spans / n_spans``.
+
+Fingerprint collisions (64-bit FNV) would merge distinct spans; the SQL
+oracle computes the IDENTICAL fold in HUGEINT, so the comparison is
+exact including any collision. Exactness domain for the oracle: ASCII
+corpus (``ord(substr)`` code points == the utf-8 bytes folded here) —
+true for the driver fixtures by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from ..util import flat_buffer, from_pandas_clean
+from .neardup import _group_runs
+
+_FNV_BASE = np.uint64(1099511628211)
+
+
+def _window_hashes(
+    binary: pa.Array, span_bytes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(parent_row, hash) for every length-``span_bytes`` window fully
+    inside one row of ``binary`` — computed over the flat values buffer
+    (``span_bytes`` vectorized multiply-add passes, no per-row Python),
+    matching the per-position fold ``acc = acc*FNV + byte`` from zero."""
+    offsets, data = flat_buffer(binary)
+    lens = np.diff(offsets)
+    n = len(lens)
+    if n == 0 or data.size < span_bytes:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.uint64)
+    arr = data.astype(np.uint64)
+    k = len(arr) - span_bytes + 1
+    acc = np.zeros(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(span_bytes):
+            acc = acc * _FNV_BASE + arr[i : i + k]
+    # a window starting at global position p belongs to row r iff
+    # offsets[r] <= p and p + span_bytes <= offsets[r+1]
+    pos = np.arange(k, dtype=np.int64)
+    parent = np.searchsorted(offsets, pos, side="right") - 1
+    valid = pos + span_bytes <= offsets[parent + 1]
+    return parent[valid], acc[valid]
+
+
+def duplicate_span_stats(
+    ds: ray.data.Dataset,
+    *,
+    span_bytes: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document duplicated-span statistics as a streaming Dataset
+    with columns ``(id_col, n_spans, n_dup_spans, dup_frac)``:
+
+    - ``n_spans``: number of length-``span_bytes`` byte windows in the
+      document (``len - span_bytes + 1``, 0 for shorter docs);
+    - ``n_dup_spans``: windows whose content occurs >= 2 times in the
+      CORPUS (across documents or repeated inside one);
+    - ``dup_frac = n_dup_spans / n_spans`` (0.0 for span-less docs) —
+      the Lee-et-al-style signal a quality filter thresholds on.
+
+    Ids follow the module contract: non-null, unique per document.
+    """
+
+    def scan(batch: pa.Table) -> pa.Table:
+        binary = pc.cast(pc.fill_null(batch[text_col], ""), pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parent, h = _window_hashes(binary, span_bytes)
+        per = (
+            pd.DataFrame({id_col: ids[parent], "h": h.view(np.int64)})
+            .groupby([id_col, "h"], sort=False)
+            .size()
+            .reset_index(name="npos")
+        )
+        per["npos"] = per["npos"].astype(np.int64)
+        # span-less docs (shorter than the window) still need an output
+        # row: a zero-weight sentinel contributes nothing to any run
+        # total but survives the per-doc Sum
+        missing = np.setdiff1d(ids, per[id_col].to_numpy())
+        if missing.size:
+            per = pd.concat(
+                [
+                    per,
+                    pd.DataFrame(
+                        {
+                            id_col: missing,
+                            "h": np.zeros(missing.size, dtype=np.int64),
+                            "npos": np.zeros(missing.size, dtype=np.int64),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return from_pandas_clean(per)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = h * np.uint64(0x9E3779B97F4A7C15)
+        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        ids = g[id_col].to_numpy()
+        npos = g["npos"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h, ids, npos = h[order], ids[order], npos[order]
+        starts, lens = _group_runs(h)
+        run_tot = np.add.reduceat(npos, starts) if len(starts) else npos[:0]
+        dup_run = run_tot >= 2
+        dup_row = np.repeat(dup_run, lens)
+        part = (
+            pd.DataFrame(
+                {
+                    id_col: ids,
+                    "spans_part": npos,
+                    "dup_part": np.where(dup_row, npos, 0),
+                }
+            )
+            .groupby(id_col, sort=False, as_index=False)
+            .sum()
+        )
+        return part
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        pdf = pdf.rename(
+            columns={
+                "sum(spans_part)": "n_spans",
+                "sum(dup_part)": "n_dup_spans",
+            }
+        )
+        spans = pdf["n_spans"].to_numpy(np.float64)
+        dups = pdf["n_dup_spans"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(spans > 0, dups / spans, 0.0)
+        pdf["dup_frac"] = frac
+        pdf["n_spans"] = pdf["n_spans"].astype(np.int64)
+        pdf["n_dup_spans"] = pdf["n_dup_spans"].astype(np.int64)
+        return from_pandas_clean(
+            pdf[[id_col, "n_spans", "n_dup_spans", "dup_frac"]]
+        )
+
+    return (
+        ds.map_batches(scan, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("spans_part"), Sum("dup_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1261,6 +1261,51 @@ ORDER BY d.doc_id
 """
 
 
+def q_dup_span_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document exact duplicate-span statistics (Lee et al. 2021
+    substring-dedup signal): fraction of a doc's 20-byte windows whose
+    content occurs >= 2 times corpus-wide. Oracled: the window
+    fingerprint is the repo's FNV fold — a HUGEINT ``list_reduce`` in
+    SQL (identical including any 64-bit collision; ASCII exactness
+    domain as for fingerprints)."""
+    from .pipelines.dupspans import duplicate_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_span_stats(ds, span_bytes=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DUP_SPAN_STATS = """
+WITH pos AS (SELECT doc_id, text, length(text) AS L FROM documents),
+h AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(i, i + 20), j -> ord(substr(text, j, 1))::HUGEINT)),
+      (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+    ) AS hh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, L - 19)) AS i
+        FROM pos WHERE L >= 20)
+),
+per AS (SELECT doc_id, hh, count(*)::BIGINT AS npos FROM h GROUP BY 1, 2),
+tot AS (SELECT hh, sum(npos) AS cnt FROM per GROUP BY 1),
+agg AS (
+  SELECT p.doc_id,
+         CAST(sum(p.npos) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN t.cnt >= 2 THEN p.npos ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM per p JOIN tot t USING (hh) GROUP BY 1
+)
+SELECT d.doc_id,
+  coalesce(a.n_spans, 0) AS n_spans,
+  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+  CASE WHEN coalesce(a.n_spans, 0) = 0 THEN 0.0
+       ELSE a.n_dup_spans / CAST(a.n_spans AS DOUBLE) END AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # langid + quality score over documents (no SQL oracle — model-driven)
 # ---------------------------------------------------------------------------
@@ -1942,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "jaccard_join": q_jaccard_join,
         "fingerprints": q_fingerprints,
+        "dup_span_stats": q_dup_span_stats,
         "langid_scores": q_langid,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -1989,6 +2035,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_band_filter": _SQL_QUANTILE_BAND_FILTER,
         # rolling-hash winnowing as a HUGEINT list_reduce + windowed min
         "fingerprints": _SQL_FINGERPRINTS,
+        # Lee-et-al substring-dup signal: same HUGEINT window fold
+        "dup_span_stats": _SQL_DUP_SPAN_STATS,
         # the permutation family is mod-2^64 arithmetic -> HUGEINT SQL,
         # coefficients inlined from the deterministic seed-1 draw
         "minhash_near_dup": _sql_minhash_near_dup(),

@@ -1,0 +1,116 @@
+"""duplicate_span_stats: planted-span semantics, partition invariance,
+and kernel-vs-naive equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.dupspans import (
+    _window_hashes,
+    duplicate_span_stats,
+)
+
+SPAN = 20
+
+
+def naive_stats(texts: dict[int, str], span: int = SPAN) -> pd.DataFrame:
+    occ: dict[str, int] = {}
+    for t in texts.values():
+        b = t.encode()
+        for i in range(max(len(b) - span + 1, 0)):
+            g = b[i : i + span]
+            occ[g] = occ.get(g, 0) + 1
+    rows = []
+    for d, t in texts.items():
+        b = t.encode()
+        n = max(len(b) - span + 1, 0)
+        dup = sum(1 for i in range(n) if occ[b[i : i + span]] >= 2)
+        rows.append(
+            {
+                "doc_id": d,
+                "n_spans": n,
+                "n_dup_spans": dup,
+                "dup_frac": dup / n if n else 0.0,
+            }
+        )
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def planted():
+    rng = np.random.default_rng(11)
+    boiler = "".join(rng.choice(list("abcdefgh ")) for _ in range(45))
+    texts = {}
+    for d in range(12):
+        body = "".join(rng.choice(list("qrstuvwx yz")) for _ in range(80))
+        # docs 0-4 share the boilerplate block; 5+ are unique; 11 repeats
+        # a span inside ITSELF (within-doc duplication counts too)
+        if d <= 4:
+            texts[d] = body[:30] + boiler + body[30:]
+        elif d == 11:
+            texts[d] = body + body[:25] + body[40:]
+        else:
+            texts[d] = body
+    texts[20] = "short"  # fewer bytes than the window -> 0 spans
+    return texts
+
+
+def test_matches_naive_and_partition_invariant(ray_session, planted):
+    expect = naive_stats(planted)
+    for nparts in (1, 5):
+        ds = ray.data.from_items(
+            [{"doc_id": d, "text": t} for d, t in planted.items()]
+        ).repartition(nparts)
+        got = (
+            duplicate_span_stats(ds, span_bytes=SPAN)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_spans": "int64", "n_dup_spans": "int64"}), expect
+        )
+
+
+def test_planted_structure(ray_session, planted):
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in planted.items()]
+    )
+    got = duplicate_span_stats(ds, span_bytes=SPAN).to_pandas()
+    got = got.set_index("doc_id")
+    # the 5 boilerplate docs share 45-19=26 dup windows each (plus any
+    # chance overlaps — none by construction)
+    for d in range(5):
+        assert got.loc[d, "n_dup_spans"] >= 45 - SPAN + 1
+    for d in range(5, 11):
+        assert got.loc[d, "n_dup_spans"] == 0
+    assert got.loc[11, "n_dup_spans"] > 0  # within-doc repeat
+    assert got.loc[20, "n_spans"] == 0 and got.loc[20, "dup_frac"] == 0.0
+
+
+def test_window_hashes_boundary_masking():
+    texts = pa.array(["a" * 25, "b" * 10, "c" * 30]).cast(pa.large_binary())
+    parent, h = _window_hashes(texts, SPAN)
+    # row lengths 25,10,30 -> 6,0,11 valid windows
+    assert np.bincount(parent, minlength=3).tolist() == [6, 0, 11]
+    # all-equal-byte rows: every window within a row hashes identically,
+    # and rows of different bytes never collide
+    assert len(set(h[parent == 0])) == 1
+    assert len(set(h[parent == 2])) == 1
+    assert set(h[parent == 0]).isdisjoint(h[parent == 2])
+
+
+def test_empty_and_all_short(ray_session):
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "tiny"}, {"doc_id": 2, "text": ""}]
+    )
+    got = (
+        duplicate_span_stats(ds, span_bytes=SPAN)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_spans"].tolist() == [0, 0]
+    assert got["dup_frac"].tolist() == [0.0, 0.0]
