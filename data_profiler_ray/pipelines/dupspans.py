@@ -44,7 +44,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Sum
 
 from ..util import flat_buffer, from_pandas_clean
 from .neardup import _group_runs
@@ -163,23 +162,33 @@ def duplicate_span_stats(
         )
         return part
 
-    def finish(batch: pa.Table) -> pa.Table:
-        pdf = batch.to_pandas()
-        pdf = pdf.rename(
-            columns={
-                "sum(spans_part)": "n_spans",
-                "sum(dup_part)": "n_dup_spans",
-            }
-        )
-        spans = pdf["n_spans"].to_numpy(np.float64)
-        dups = pdf["n_dup_spans"].to_numpy(np.float64)
+    # the per-doc merge is ALSO coarse-bucketed: ray.data's Aggregate
+    # operator measured ~60x slower than a sort shuffle + vectorized
+    # pandas sum on this row count (490 s of remote time for 295 k
+    # partial rows at sf0.1), so the merge reuses the same
+    # groupby(hash(doc) % n_buckets) + C-level groupby-sum shape
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        from .sampling import _hash_ids, _ids_array
+
+        ids = _ids_array(batch[id_col])
+        bucket2 = (_hash_ids(ids, 0) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket2", pa.array(bucket2))
+
+    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(id_col, sort=False, as_index=False)[
+            ["spans_part", "dup_part"]
+        ].sum()
+        spans = s["spans_part"].to_numpy(np.float64)
+        dups = s["dup_part"].to_numpy(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             frac = np.where(spans > 0, dups / spans, 0.0)
-        pdf["dup_frac"] = frac
-        pdf["n_spans"] = pdf["n_spans"].astype(np.int64)
-        pdf["n_dup_spans"] = pdf["n_dup_spans"].astype(np.int64)
-        return from_pandas_clean(
-            pdf[[id_col, "n_spans", "n_dup_spans", "dup_frac"]]
+        return pd.DataFrame(
+            {
+                id_col: s[id_col],
+                "n_spans": s["spans_part"].astype(np.int64),
+                "n_dup_spans": s["dup_part"].astype(np.int64),
+                "dup_frac": frac,
+            }
         )
 
     return (
@@ -187,7 +196,7 @@ def duplicate_span_stats(
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_partials, batch_format="pandas")
-        .groupby(id_col)
-        .aggregate(Sum("spans_part"), Sum("dup_part"))
-        .map_batches(finish, batch_format="pyarrow")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(merge_doc, batch_format="pandas")
     )
