@@ -1,0 +1,208 @@
+"""Semantic deduplication over an embedding table (SemDeDup-style).
+
+Public algorithms: Lloyd's k-means (1957/1982) and Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication" — cluster the embedding space, then prune near-identical
+members WITHIN each cluster, so the O(n^2) cosine comparison only ever
+runs on cluster-sized groups.
+
+Ray-Data-first shape:
+
+- **Init** is deterministic and SQL-reproducible: the centroids start
+  as the embeddings of the ``k`` smallest ids (per-batch min-k combiner
+  -> tiny driver merge; no corpus sort).
+- **Each Lloyd iteration is ONE streaming corpus scan**: every batch
+  assigns its rows to the broadcast centroids (vectorized squared-L2
+  in float64) and emits k PARTIAL (cluster, count, sum-vector) rows;
+  the driver reduces the k x nblocks partials (k·dim doubles each —
+  trivially small) into the next centroid matrix. Empty clusters keep
+  their previous centroid.
+- **Assignment is stateless**: the final k x dim centroid matrix is a
+  broadcast, so downstream stages recompute a batch's clusters locally
+  — no corpus-scale id->cluster map ever touches the driver.
+- :func:`semantic_dedup` shuffles (id, cluster, vec) rows to their
+  cluster (k groups) and marks, inside each cluster, every member that
+  has a SMALLER-id neighbor with cosine >= ``threshold`` as a duplicate
+  (keep = False). Per-cluster membership must fit a worker heap —
+  SemDeDup's own operating point (the paper uses k ~ sqrt(n); raise
+  ``k`` to shrink groups).
+
+Oracle determinism: iteration count and k are fixed; assignments break
+distance ties by cluster index. The SQL oracle recomputes the same two
+Lloyd iterations; float sums there run in a different association
+order, so assignments can only diverge for rows whose best-vs-second
+centroid margin is below ~1e-9 — the parity fixture asserts its margins
+are orders of magnitude wider (same reasoning as weighted_sample's libm
+note in ``pipelines/sampling.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..util import from_pandas_clean
+from .similarity import _batch_matrix, _normalize
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, k: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Embeddings of the k smallest ids: per-batch min-k combiner, then
+    a <= k x nblocks candidate merge on the driver (never the corpus)."""
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "__vec__": list(_batch_matrix(batch, vec_col)),
+            }
+        )
+        return from_pandas_clean(df.sort_values(id_col).head(k))
+
+    cand = (
+        ds.map_batches(local_min, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .head(k)
+    )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in cand["__vec__"]])
+
+
+def _assign(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """argmin squared-L2 (elementwise difference form — the same
+    algebraic shape the SQL oracle's list_distance uses, avoiding the
+    dot-product-expansion cancellation); ties break to the lowest
+    cluster index (np.argmin's first-min contract)."""
+    d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_centroids(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Final ``k x dim`` float64 centroid matrix after ``iters`` full
+    Lloyd rounds from the deterministic min-id init. Each round is one
+    streaming scan emitting per-batch partial sums."""
+    ds = ds.select_columns([id_col, vec_col])
+    centroids = _init_centroids(ds, k, id_col, vec_col)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)  # k x dim doubles — trivially small
+            x = _batch_matrix(batch, vec_col)
+            a = _assign(x, c)
+            rows = []
+            for cl in np.unique(a):
+                sel = x[a == cl]
+                rows.append(
+                    {
+                        "cluster": int(cl),
+                        "cnt": int(sel.shape[0]),
+                        "vsum": sel.sum(axis=0),
+                    }
+                )
+            return from_pandas_clean(pd.DataFrame(rows))
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        nxt = centroids.copy()  # empty clusters keep their centroid
+        for cl, grp in parts.groupby("cluster"):
+            total = np.sum(
+                np.stack([np.asarray(v, np.float64) for v in grp["vsum"]]),
+                axis=0,
+            )
+            nxt[cl] = total / float(grp["cnt"].sum())
+        centroids = nxt
+    return centroids
+
+
+def kmeans_assignments(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Deterministic fixed-iteration Lloyd k-means; returns a streaming
+    Dataset of ``(id_col, cluster)``."""
+    ds = ds.select_columns([id_col, vec_col])
+    cref = ray.put(
+        kmeans_centroids(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _batch_matrix(batch, vec_col)
+        a = _assign(x, c)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 10,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup: k-means partition, then within-cluster cosine pruning.
+    Returns a streaming Dataset ``(id_col, cluster, keep)`` where
+    ``keep`` is False iff some SAME-CLUSTER member with a smaller id has
+    cosine similarity >= ``threshold`` (the deterministic
+    keep-the-smallest-id contract the exact-dedup family uses)."""
+    ds = ds.select_columns([id_col, vec_col])
+    cref = ray.put(
+        kmeans_centroids(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _batch_matrix(batch, vec_col)
+        a = _assign(x, c)
+        df = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(zero_copy_only=False),
+                "cluster": a.astype(np.int64),
+                "__vec__": list(x),
+            }
+        )
+        return from_pandas_clean(df)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        v = _normalize(
+            np.stack([np.asarray(x, np.float64) for x in g["__vec__"]])
+        )
+        sims = v @ v.T
+        dup = (np.tril(sims >= threshold, -1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "keep": ~dup,
+            }
+        )
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )

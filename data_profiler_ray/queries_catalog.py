@@ -1261,6 +1261,106 @@ ORDER BY d.doc_id
 """
 
 
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 2-iteration Lloyd k-means (k=10, min-id init) over
+    the embeddings table. Oracled: the SQL unrolls the same two
+    assignment/update rounds (``list_distance`` argmin with
+    (distance, cluster) tie order, per-dimension ``avg`` update); see
+    the float-margin note in ``pipelines/semdedup.py``."""
+    from .pipelines.semdedup import kmeans_assignments
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assignments(ds, k=10, iters=2).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means partition + within-cluster
+    cosine pruning, keep-the-smallest-id contract. Oracled: the pruning
+    predicate is a NOT EXISTS self-join on ``list_cosine_similarity``
+    over the k-means oracle's assignment. Threshold 0.45 here (not the
+    0.95 production default): the synthetic embeddings have no
+    near-identical pairs (max pairwise cosine ~0.51), so 0.45 sits in
+    the sparse upper tail where the predicate actually flips rows — the
+    parity test asserts no within-cluster pair lies near the boundary."""
+    from .pipelines.semdedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=10, iters=2, threshold=0.45).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# Two unrolled Lloyd iterations in SQL: c0 = min-id init, a<N> =
+# argmin-distance assignment with (dist, cluster) tie order, c<N> =
+# per-dimension avg (empty clusters fall back to the previous round via
+# LEFT JOIN + coalesce). Dimensions hardcoded to the fixtures' 64 (the
+# Ray side is dim-agnostic).
+_SQL_KMEANS_PREFIX = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e
+  FROM (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 10)
+),
+a1 AS (
+  SELECT vec_id, cl FROM (
+    SELECT b.vec_id, c.cl,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_distance(b.e, c.e), c.cl) AS rn
+    FROM base b CROSS JOIN c0 c) WHERE rn = 1
+),
+c1e AS (
+  SELECT a1.cl, d.i, avg(b.e[d.i]) AS v
+  FROM a1 JOIN base b USING (vec_id) CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+c1n AS (SELECT cl, list(v ORDER BY i) AS e FROM c1e GROUP BY 1),
+c1 AS (SELECT c0.cl, coalesce(c1n.e, c0.e) AS e FROM c0 LEFT JOIN c1n USING (cl)),
+a2 AS (
+  SELECT vec_id, cl FROM (
+    SELECT b.vec_id, c.cl,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_distance(b.e, c.e), c.cl) AS rn
+    FROM base b CROSS JOIN c1 c) WHERE rn = 1
+),
+c2e AS (
+  SELECT a2.cl, d.i, avg(b.e[d.i]) AS v
+  FROM a2 JOIN base b USING (vec_id) CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+c2n AS (SELECT cl, list(v ORDER BY i) AS e FROM c2e GROUP BY 1),
+c2 AS (SELECT c1.cl, coalesce(c2n.e, c1.e) AS e FROM c1 LEFT JOIN c2n USING (cl)),
+afinal AS (
+  SELECT vec_id, cl FROM (
+    SELECT b.vec_id, c.cl,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY list_distance(b.e, c.e), c.cl) AS rn
+    FROM base b CROSS JOIN c2 c) WHERE rn = 1
+)
+"""
+
+_SQL_KMEANS_CLUSTERS = (
+    _SQL_KMEANS_PREFIX
+    + """
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM afinal ORDER BY vec_id
+"""
+)
+
+_SQL_SEMANTIC_DEDUP = (
+    _SQL_KMEANS_PREFIX
+    + """
+, mem AS (SELECT a.vec_id, a.cl, b.e FROM afinal a JOIN base b USING (vec_id))
+SELECT m.vec_id, CAST(m.cl AS BIGINT) AS cluster,
+  NOT EXISTS (
+    SELECT 1 FROM mem o
+    WHERE o.cl = m.cl AND o.vec_id < m.vec_id
+      AND list_cosine_similarity(o.e, m.e) >= 0.45
+  ) AS keep
+FROM mem m ORDER BY m.vec_id
+"""
+)
+
+
 def q_dup_span_stats(sf_dir: str) -> pd.DataFrame:
     """Per-document exact duplicate-span statistics (Lee et al. 2021
     substring-dedup signal): fraction of a doc's 20-byte windows whose
@@ -1988,6 +2088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": q_jaccard_join,
         "fingerprints": q_fingerprints,
         "dup_span_stats": q_dup_span_stats,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "langid_scores": q_langid,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -2037,6 +2139,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         # Lee-et-al substring-dup signal: same HUGEINT window fold
         "dup_span_stats": _SQL_DUP_SPAN_STATS,
+        # two unrolled Lloyd iterations; argmin via (dist, cl) row_number
+        "kmeans_clusters": _SQL_KMEANS_CLUSTERS,
+        # + NOT EXISTS smaller-id cosine neighbor within the cluster
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         # the permutation family is mod-2^64 arithmetic -> HUGEINT SQL,
         # coefficients inlined from the deterministic seed-1 draw
         "minhash_near_dup": _sql_minhash_near_dup(),

@@ -1,0 +1,131 @@
+"""k-means + SemDeDup: naive-replication equality, partition invariance,
+planted-duplicate pruning, and oracle-margin witnesses."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from data_profiler_ray.pipelines.semdedup import (
+    _assign,
+    kmeans_assignments,
+    kmeans_centroids,
+    semantic_dedup,
+)
+
+DIM = 8
+
+
+def naive_kmeans(ids, X, k, iters):
+    order = np.argsort(ids)
+    C = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        a = _assign(X, C)
+        for cl in range(k):
+            sel = X[a == cl]
+            if len(sel):
+                C[cl] = sel.mean(axis=0)
+    return _assign(X, C), C
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, DIM)) * 6
+    X = np.concatenate(
+        [c + rng.normal(scale=0.4, size=(30, DIM)) for c in centers]
+    )
+    # plant two NEAR-IDENTICAL members of cluster 0 (ids 200, 201)
+    X = np.concatenate([X, [X[0] + 1e-4, X[0] + 2e-4]])
+    ids = np.concatenate([np.arange(120), [200, 201]])
+    return ids.astype(np.int64), X.astype(np.float64)
+
+
+def to_ds(ids, X, nparts=3):
+    return ray.data.from_items(
+        [{"vec_id": int(i), "embedding": list(map(float, x))} for i, x in zip(ids, X)]
+    ).repartition(nparts)
+
+
+def test_matches_naive_and_partition_invariant(ray_session, blobs):
+    ids, X = blobs
+    expect_a, expect_c = naive_kmeans(ids, X, k=4, iters=2)
+    for nparts in (1, 4):
+        ds = to_ds(ids, X, nparts)
+        C = kmeans_centroids(ds, k=4, iters=2)
+        assert np.allclose(C, expect_c, rtol=0, atol=1e-12)
+        got = (
+            kmeans_assignments(ds, k=4, iters=2)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        order = np.argsort(ids)
+        assert got["cluster"].tolist() == expect_a[order].tolist()
+
+
+def test_semantic_dedup_prunes_planted(ray_session, blobs):
+    ids, X = blobs
+    out = (
+        semantic_dedup(to_ds(ids, X), k=4, iters=2, threshold=0.999)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    # the planted near-identical copies of vec 0 are pruned; 0 survives
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[200, "keep"])
+    assert not bool(out.loc[201, "keep"])
+    # they all share vec 0's cluster
+    assert out.loc[200, "cluster"] == out.loc[0, "cluster"]
+    # full keep column matches the naive predicate (a tight blob far
+    # from the origin has a tiny angular spread, so ordinary members
+    # prune each other too — compute the truth, don't assume)
+    ids, X = blobs
+    order = np.argsort(ids)
+    ids_s, X_s = ids[order], X[order]
+    a, _ = naive_kmeans(ids, X, k=4, iters=2)
+    a_s = a[order]
+    Xn = X_s / np.linalg.norm(X_s, axis=1, keepdims=True)
+    expect = []
+    for i in range(len(ids_s)):
+        same = (a_s == a_s[i]) & (ids_s < ids_s[i])
+        expect.append(not (Xn[same] @ Xn[i] >= 0.999).any())
+    assert out["keep"].tolist() == expect
+
+
+def test_assign_tie_breaks_low_cluster():
+    X = np.array([[1.0, 0.0]])
+    C = np.array([[0.0, 1.0], [2.0, 1.0]])  # equidistant
+    assert _assign(X, C)[0] == 0
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_oracle_margins_are_wide(ray_session, sf):
+    """The SQL oracle recomputes distances/cosines with a different
+    float association order; divergence requires a margin below ~1e-9.
+    Assert the driver fixtures keep both decision margins far wider, so
+    a risky fixture fails loudly instead of flaking (the weighted_sample
+    convention)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(
+        [np.asarray(v, np.float64) for v in t["embedding"].to_pylist()]
+    )
+    C = kmeans_centroids(to_ds(ids, X), k=10, iters=2)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    d2.sort(axis=1)
+    assert (np.sqrt(d2[:, 1]) - np.sqrt(d2[:, 0])).min() > 1e-6
+    # cosine-threshold margin at the 0.45 catalog threshold, within
+    # final clusters only (the only pairs the predicate examines)
+    a = _assign(X, C)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    worst = 1.0
+    for cl in range(10):
+        V = Xn[a == cl]
+        if len(V) < 2:
+            continue
+        sims = (V @ V.T)[np.triu_indices(len(V), 1)]
+        worst = min(worst, np.abs(sims - 0.45).min())
+    assert worst > 1e-6
