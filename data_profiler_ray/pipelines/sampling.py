@@ -290,6 +290,102 @@ def pack_shards(
     return out.sort_values(id_col).reset_index(drop=True)
 
 
+def shuffle_rank_dataset(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic GLOBAL SHUFFLE order for training: every row's rank
+    (0-based) under the total order ``(h(id), id)`` with the module's
+    Knuth hash — the standard trick that turns "randomly shuffle the
+    corpus" into a reproducible, resumable sort (re-running with the
+    same seed yields the same order on any partitioning; a new seed is a
+    fresh permutation). Returns a streaming Dataset of ``(id, shuffle_pos)``
+    — one row per corpus row, so scale consumers join/write it (or feed
+    ``shuffle_pos`` into :func:`pack_shards_dataset` for shuffled
+    sharding) rather than collect.
+
+    Distributed rank without a global sort materialization: the hash is
+    uniform on [0, 2^32), so ``bucket = h * n_buckets >> 32`` gives
+    contiguous equal-width key ranges; per-bucket COUNTS (a combiner
+    scan -> n_buckets driver integers) prefix-sum into bucket base
+    offsets, and ONE shuffle keyed by the int bucket sorts each bucket
+    locally — base + local position is the exact global rank. Only an
+    ~12-byte (id, h) projection moves. Ids follow the module contract
+    (non-null, unique, < 2^32 for SQL parity).
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _ids_array(batch[id_col])
+        h = _hash_ids(ids, seed)
+        bucket = ((h * np.uint64(n_buckets)) >> np.uint64(32)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "h": pa.array(h.astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("bucket", sort=False).size().reset_index(name="cnt")
+        return from_pandas_clean(g)
+
+    counts_df = proj.map_batches(bucket_counts, batch_format="pyarrow").to_pandas()
+    if counts_df.empty:  # a 0-row collect can drop the column index
+        counts_df = pd.DataFrame({"bucket": [], "cnt": []})
+    totals = counts_df.groupby("bucket")["cnt"].sum().sort_index()
+    per_bucket = totals.reindex(range(n_buckets), fill_value=0).to_numpy()
+    bases = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "shuffle_pos": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values(["h", id_col])
+        base = int(bases[int(g["bucket"].iloc[0])])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "shuffle_pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return proj.groupby("bucket").map_groups(rank_group, batch_format="pandas")
+
+
+def shuffle_rank(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """:func:`shuffle_rank_dataset` collected and id-sorted — the
+    oracle/test convenience view (corpus-scale output; scale consumers
+    compose on the Dataset variant)."""
+    out = shuffle_rank_dataset(
+        ds, id_col=id_col, seed=seed, n_buckets=n_buckets
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "shuffle_pos": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 def weighted_sample(
     ds: ray.data.Dataset,
     *,

@@ -1463,6 +1463,28 @@ ORDER BY doc_id
 """
 
 
+def q_shuffle_rank(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global training-shuffle order: each doc's 0-based
+    rank under (knuth_hash(id, seed=7), id) — the reproducible
+    random-shuffle a training pipeline sorts by. Distributed via
+    hash-range bucket counts + prefix-summed bases (no global sort
+    materialization); oracle is a plain row_number window."""
+    from .pipelines.sampling import shuffle_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_rank(ds, seed=7)
+
+
+_SQL_SHUFFLE_RANK = """
+SELECT doc_id,
+  CAST(row_number() OVER (
+    ORDER BY (CAST(doc_id + 7 AS HUGEINT) * 2654435761) % 4294967296,
+             doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """Overlapping-window chunking of the documents table (320-byte
     windows, 64-byte overlap) — the pre-tokenization flat_map. ASCII
@@ -2101,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_dedup_jaccard": q_neardup_dedup_jaccard,
         "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
+        "shuffle_rank": q_shuffle_rank,
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
         "weighted_sample": q_weighted_sample,
@@ -2156,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_shards": _SQL_PACK_SHARDS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "hash_split": _SQL_HASH_SPLIT,
+        "shuffle_rank": _SQL_SHUFFLE_RANK,
         "decontaminate": _SQL_DECONTAMINATE,
         # both jaccard entries share the exact all-pairs oracle: the
         # jaccard_join path is exact by construction; a hash-match on the

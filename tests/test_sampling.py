@@ -256,3 +256,51 @@ def test_weighted_sample_high_block_count(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 40 and a["doc_id"].is_unique
+
+
+def test_shuffle_rank_matches_naive_and_partition_invariant(ray_session):
+    from data_profiler_ray.pipelines.sampling import (
+        _hash_ids,
+        shuffle_rank,
+        shuffle_rank_dataset,
+    )
+
+    ids = np.array([3, 999, 41, 0, 17, 123456, 7, 65535, 2**31], dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    h = _hash_ids(ids, 5)
+    order = np.lexsort((ids, h))
+    expect = np.empty(len(ids), dtype=np.int64)
+    expect[order] = np.arange(len(ids))
+    naive = pd.DataFrame({"doc_id": np.sort(ids),
+                          "shuffle_pos": expect[np.argsort(ids)]})
+    for nparts in (1, 4):
+        got = shuffle_rank(
+            ray.data.from_arrow(t).repartition(nparts), seed=5
+        )
+        pd.testing.assert_frame_equal(got, naive)
+    # the Dataset variant is a permutation of 0..n-1
+    pos = (
+        shuffle_rank_dataset(ray.data.from_arrow(t), seed=5)
+        .to_pandas()["shuffle_pos"]
+        .sort_values()
+        .tolist()
+    )
+    assert pos == list(range(len(ids)))
+
+
+def test_shuffle_rank_seed_changes_order(ray_session):
+    from data_profiler_ray.pipelines.sampling import shuffle_rank
+
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    a = shuffle_rank(ray.data.from_arrow(t), seed=1)
+    b = shuffle_rank(ray.data.from_arrow(t), seed=2)
+    assert not a["shuffle_pos"].equals(b["shuffle_pos"])
+    assert sorted(a["shuffle_pos"]) == sorted(b["shuffle_pos"])
+
+
+def test_shuffle_rank_empty(ray_session):
+    from data_profiler_ray.pipelines.sampling import shuffle_rank
+
+    t = pa.table({"doc_id": pa.array([], pa.int64())})
+    out = shuffle_rank(ray.data.from_arrow(t))
+    assert out.empty and list(out.columns) == ["doc_id", "shuffle_pos"]
