@@ -189,11 +189,16 @@ def bench_queries() -> dict:
         "stratified_sample",
         "pack_shards",
         "minhash_near_dup",
+        "simhash_near_dup",
         "neardup_dedup",
         "decontaminate",
         "tfidf",
+        "top_terms",
         "repetition_signals",
         "quantile_band_filter",
+        "dup_span_stats",
+        "semantic_dedup",
+        "shuffle_rank",
     ]
     # peak-RSS is sampled for the two historically most expensive
     # queries (r3 verdict item #7 — streaming-memory evidence)
