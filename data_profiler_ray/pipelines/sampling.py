@@ -386,6 +386,85 @@ def shuffle_rank(
     return out.sort_values(id_col).reset_index(drop=True)
 
 
+def mix_corpora(
+    ds: ray.data.Dataset,
+    proportions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic corpus MIXING: subsample each source so the kept
+    rows hit the requested proportions — the data-mixture step of a
+    training pipeline (e.g. 50% web / 30% code / 20% books), public
+    recipe in every LM data report (Gao et al. 2020 "The Pile" §2;
+    Brown et al. 2020 Table 2.2).
+
+    Largest achievable mixture: ``T = min_s N_s / p_s`` total rows, so
+    the binding (scarcest-relative-to-target) source keeps everything
+    and every other source keeps ``rate_s = T * p_s / N_s`` of its rows,
+    chosen by the module's Knuth id-hash (``h(id) < trunc(rate_s *
+    2^32)``) — deterministic, partition/retry-invariant, and
+    SQL-reproducible (the oracle evaluates the identical float
+    expression tree on the identical integer counts, so the thresholds
+    are bit-equal doubles on both sides). Rows whose source is not in
+    ``proportions`` are dropped.
+
+    Shape: one tiny per-source count aggregate (per-batch combiner ->
+    driver merge; the number of DISTINCT sources must be driver-small —
+    mixtures are hand-written, typically < 100 entries), then ONE
+    stateless filter scan. No shuffle. Returns the filtered Dataset
+    with ALL input columns.
+
+    ``proportions`` must be positive and sum to 1 (+-1e-9); every listed
+    source must exist in the data (a zero-count source would make its
+    target proportion unsatisfiable — raise, don't silently skew).
+    """
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    if any(p <= 0 for p in proportions.values()):
+        raise ValueError("proportions must be positive")
+    if abs(sum(proportions.values()) - 1.0) > 1e-9:
+        raise ValueError("proportions must sum to 1.0")
+
+    def src_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {source_col: batch[source_col].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(source_col, sort=False).size().reset_index(name="cnt")
+        return from_pandas_clean(g)
+
+    counts = (
+        ds.select_columns([source_col])
+        .map_batches(src_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(source_col)["cnt"]
+        .sum()
+    )
+    missing = [s for s in proportions if s not in counts.index or counts[s] == 0]
+    if missing:
+        raise ValueError(f"sources absent from the data: {missing}")
+
+    # the SQL-matched float expression tree: T = min(N_s/p_s);
+    # rate_s = T*p_s/N_s; thr_s = trunc(rate_s * 2^32)
+    t_total = min(float(counts[s]) / p for s, p in proportions.items())
+    thr = {
+        s: int((t_total * p / float(counts[s])) * 4294967296.0)
+        for s, p in proportions.items()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = _ids_array(batch[id_col])
+        h = _hash_ids(ids, seed).astype(np.int64)
+        srcs = batch[source_col].to_numpy(zero_copy_only=False)
+        lim = (
+            pd.Series(srcs).map(thr).fillna(0).to_numpy(np.int64)
+        )  # C-level dict probe; unlisted sources -> threshold 0 (dropped)
+        return batch.filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def weighted_sample(
     ds: ray.data.Dataset,
     *,

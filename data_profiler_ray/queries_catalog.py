@@ -1485,6 +1485,50 @@ ORDER BY doc_id
 """
 
 
+# the mixture both sides evaluate: 4 of the 20 synthetic sources with
+# deliberately unequal targets (src3 is the binding source at these
+# uniform counts, so it keeps ~everything and the others subsample)
+_MIX_PROPS = {"src0": 0.2, "src1": 0.15, "src2": 0.25, "src3": 0.4}
+_MIX_SEED = 3
+
+
+def q_mix_corpora(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus mixing (training data-mixture step): keep
+    the largest subset hitting the target source proportions, rows
+    chosen by Knuth id-hash threshold. Oracled: the SQL evaluates the
+    IDENTICAL float expression tree (T = min(N_s/p_s); thr =
+    trunc(T*p_s/N_s * 2^32)) on the identical integer counts, so the
+    thresholds are bit-equal doubles on both sides."""
+    from .pipelines.sampling import mix_corpora
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = mix_corpora(ds, _MIX_PROPS, seed=_MIX_SEED).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_mix_corpora() -> str:
+    props = ",".join(f"('{s}',{p!r})" for s, p in _MIX_PROPS.items())
+    return f"""
+WITH p(source, ps) AS (VALUES {props}),
+n AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS ns
+  FROM documents WHERE source IN (SELECT source FROM p) GROUP BY 1
+),
+j AS (SELECT n.source, ns, ps FROM n JOIN p USING (source)),
+t AS (SELECT min(ns / ps) AS tt FROM j),
+thr AS (
+  SELECT source,
+         CAST(trunc(((SELECT tt FROM t) * ps / ns) * 4294967296.0) AS HUGEINT)
+           AS th
+  FROM j
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE (CAST(d.doc_id + {_MIX_SEED} AS HUGEINT) * 2654435761) % 4294967296 < th
+ORDER BY d.doc_id
+"""
+
+
 def q_chunk_documents(sf_dir: str) -> pd.DataFrame:
     """Overlapping-window chunking of the documents table (320-byte
     windows, 64-byte overlap) — the pre-tokenization flat_map. ASCII
@@ -2124,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "hash_split": q_hash_split,
         "shuffle_rank": q_shuffle_rank,
+        "mix_corpora": q_mix_corpora,
         "decontaminate": q_decontaminate,
         "tfidf": q_tfidf,
         "weighted_sample": q_weighted_sample,
@@ -2180,6 +2225,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "hash_split": _SQL_HASH_SPLIT,
         "shuffle_rank": _SQL_SHUFFLE_RANK,
+        # bit-equal float thresholds from identical integer counts
+        "mix_corpora": _sql_mix_corpora(),
         "decontaminate": _SQL_DECONTAMINATE,
         # both jaccard entries share the exact all-pairs oracle: the
         # jaccard_join path is exact by construction; a hash-match on the

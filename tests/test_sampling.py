@@ -304,3 +304,65 @@ def test_shuffle_rank_empty(ray_session):
     t = pa.table({"doc_id": pa.array([], pa.int64())})
     out = shuffle_rank(ray.data.from_arrow(t))
     assert out.empty and list(out.columns) == ["doc_id", "shuffle_pos"]
+
+
+def _mix_table(counts: dict[str, int]) -> pa.Table:
+    ids, srcs = [], []
+    i = 0
+    for s, n in counts.items():
+        for _ in range(n):
+            ids.append(i)
+            srcs.append(s)
+            i += 1
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "source": pa.array(srcs, pa.string())})
+
+
+def test_mix_corpora_hits_proportions_and_partition_invariant(ray_session):
+    from data_profiler_ray.pipelines.sampling import mix_corpora
+
+    t = _mix_table({"a": 4000, "b": 4000, "c": 200, "x": 500})
+    props = {"a": 0.45, "b": 0.45, "c": 0.1}  # c binds: T = 2000
+    outs = []
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (
+            mix_corpora(ds, props, seed=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]["source"].value_counts()
+    assert "x" not in got.index          # unlisted source dropped
+    assert got["c"] == 200               # binding source keeps all
+    # hash subsampling is near-exact at these sizes (thr quantizes the
+    # uniform id->hash permutation): a/b each target 900 of 4000
+    assert abs(got["a"] - 900) < 60 and abs(got["b"] - 900) < 60
+
+
+def test_mix_corpora_validation(ray_session):
+    from data_profiler_ray.pipelines.sampling import mix_corpora
+
+    ds = ray.data.from_arrow(_mix_table({"a": 10}))
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_corpora(ds, {"a": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        mix_corpora(ds, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="absent"):
+        mix_corpora(ds, {"a": 0.5, "zzz": 0.5}).to_pandas()
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_corpora(ds, {})
+
+
+def test_mix_corpora_all_kept_when_exact(ray_session):
+    from data_profiler_ray.pipelines.sampling import mix_corpora
+
+    # proportions exactly matching the data keep EVERY row (rate 1.0
+    # for all sources -> threshold 2^32 > any hash)
+    t = _mix_table({"a": 300, "b": 100})
+    out = mix_corpora(
+        ray.data.from_arrow(t), {"a": 0.75, "b": 0.25}, seed=9
+    ).to_pandas()
+    assert len(out) == 400
