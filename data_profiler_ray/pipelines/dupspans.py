@@ -200,3 +200,96 @@ def duplicate_span_stats(
         .groupby("bucket2")
         .map_groups(merge_doc, batch_format="pandas")
     )
+
+
+def source_overlap_matrix(
+    ds: ray.data.Dataset,
+    *,
+    span_bytes: int = 20,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Cross-SOURCE contamination matrix: for every unordered source
+    pair (a < b), the number of DISTINCT length-``span_bytes`` spans
+    that occur in both sources — the corpus-curation view of the same
+    Lee-et-al fingerprint space (how much boilerplate two crawls /
+    registers share predicts cross-source duplication after mixing).
+
+    Shape: the :func:`duplicate_span_stats` scan with ``source`` in
+    place of the doc id and set (not count) semantics, the same
+    coarse-bucket fingerprint shuffle, then per-run source-pair
+    expansion. Each group callback emits <= n_sources^2 partial rows,
+    merged on the driver — the number of DISTINCT sources must be
+    driver-small (mixtures are; document counts are not).
+
+    Returns a collected DataFrame ``(source_a, source_b, n_shared)``
+    sorted by (source_a, source_b) — output is n_sources^2-bounded, so
+    a driver collect IS the scale-correct return type here.
+    """
+
+    def scan(batch: pa.Table) -> pa.Table:
+        binary = pc.cast(pc.fill_null(batch[text_col], ""), pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        srcs = batch[source_col].to_numpy(zero_copy_only=False)
+        parent, h = _window_hashes(binary, span_bytes)
+        per = pd.DataFrame(
+            {source_col: srcs[parent], "h": h.view(np.int64)}
+        ).drop_duplicates()
+        return from_pandas_clean(per)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = h * np.uint64(0x9E3779B97F4A7C15)
+        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # batch-level dedup above is per-batch; finish the distinct
+        # (source, h) set within the bucket, then expand each h-run's
+        # source list into unordered pairs
+        g = g.drop_duplicates([source_col, "h"]).sort_values(
+            ["h", source_col]
+        )
+        h = g["h"].to_numpy()
+        src = g[source_col].to_numpy()
+        starts, lens = _group_runs(h)
+        from .neardup import _runs_pair_indices
+
+        iu, ju = _runs_pair_indices(
+            starts, lens, cap=np.iinfo(np.int64).max, kind="source-overlap"
+        )
+        part = (
+            pd.DataFrame({"source_a": src[iu], "source_b": src[ju]})
+            .groupby(["source_a", "source_b"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        part["n_shared"] = part["n_shared"].astype(np.int64)
+        return part
+
+    out = (
+        ds.map_batches(scan, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series(dtype="object"),
+                "source_b": pd.Series(dtype="object"),
+                "n_shared": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        out.groupby(["source_a", "source_b"], as_index=False)["n_shared"]
+        .sum()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out

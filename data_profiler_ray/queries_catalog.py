@@ -1406,6 +1406,38 @@ ORDER BY d.doc_id
 """
 
 
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination matrix: distinct 20-byte spans shared
+    by each source pair (the corpus-curation view of the dup_span_stats
+    fingerprint space). Oracled with the identical HUGEINT window
+    fold + a distinct-set self-join."""
+    from .pipelines.dupspans import source_overlap_matrix
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return source_overlap_matrix(ds, span_bytes=20)
+
+
+_SQL_SOURCE_OVERLAP = """
+WITH pos AS (SELECT source, text, length(text) AS L FROM documents),
+h AS (
+  SELECT source,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(i, i + 20), j -> ord(substr(text, j, 1))::HUGEINT)),
+      (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+    ) AS hh
+  FROM (SELECT source, text, unnest(generate_series(1, L - 19)) AS i
+        FROM pos WHERE L >= 20)
+),
+per AS (SELECT DISTINCT source, hh FROM h)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*)::BIGINT AS n_shared
+FROM per a JOIN per b ON a.hh = b.hh AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # langid + quality score over documents (no SQL oracle — model-driven)
 # ---------------------------------------------------------------------------
@@ -2154,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": q_jaccard_join,
         "fingerprints": q_fingerprints,
         "dup_span_stats": q_dup_span_stats,
+        "source_overlap": q_source_overlap,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "langid_scores": q_langid,
@@ -2207,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         # Lee-et-al substring-dup signal: same HUGEINT window fold
         "dup_span_stats": _SQL_DUP_SPAN_STATS,
+        "source_overlap": _SQL_SOURCE_OVERLAP,
         # two unrolled Lloyd iterations; argmin via (dist, cl) row_number
         "kmeans_clusters": _SQL_KMEANS_CLUSTERS,
         # + NOT EXISTS smaller-id cosine neighbor within the cluster

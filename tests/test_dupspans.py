@@ -114,3 +114,36 @@ def test_empty_and_all_short(ray_session):
     )
     assert got["n_spans"].tolist() == [0, 0]
     assert got["dup_frac"].tolist() == [0.0, 0.0]
+
+
+def test_source_overlap_matrix(ray_session):
+    from data_profiler_ray.pipelines.dupspans import source_overlap_matrix
+
+    shared_ab = "X" * 5 + "shared-between-a-and-b!!" + "Y" * 5
+    shared_bc = "Q" * 5 + "different-shared-bc-run!" + "Z" * 5
+    rows = [
+        {"source": "a", "text": shared_ab + "unique-a-padding-0123456789"},
+        {"source": "b", "text": "unique-b-padding-9876543210" + shared_ab},
+        {"source": "b", "text": shared_bc},
+        {"source": "c", "text": "c-side " + shared_bc + " tail"},
+        {"source": "d", "text": "totally unrelated content here 42"},
+    ]
+    for nparts in (1, 3):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        out = source_overlap_matrix(ds, span_bytes=SPAN)
+        got = {
+            (r.source_a, r.source_b): r.n_shared for r in out.itertuples()
+        }
+        # a/b share exactly the windows fully inside shared_ab
+        assert got[("a", "b")] == len(shared_ab) - SPAN + 1
+        assert got[("b", "c")] == len(shared_bc) - SPAN + 1
+        assert ("a", "c") not in got and all("d" not in k for k in got)
+
+
+def test_source_overlap_empty(ray_session):
+    from data_profiler_ray.pipelines.dupspans import source_overlap_matrix
+
+    ds = ray.data.from_items([{"source": "a", "text": "tiny"}])
+    out = source_overlap_matrix(ds)
+    assert out.empty
+    assert list(out.columns) == ["source_a", "source_b", "n_shared"]
