@@ -199,6 +199,8 @@ def bench_queries() -> dict:
         "dup_span_stats",
         "semantic_dedup",
         "shuffle_rank",
+        "mix_corpora",
+        "source_overlap",
     ]
     # peak-RSS is sampled for the two historically most expensive
     # queries (r3 verdict item #7 — streaming-memory evidence)
