@@ -53,17 +53,19 @@ _FNV_BASE = np.uint64(1099511628211)
 
 def _window_hashes(
     binary: pa.Array, span_bytes: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """(parent_row, hash) for every length-``span_bytes`` window fully
-    inside one row of ``binary`` — computed over the flat values buffer
-    (``span_bytes`` vectorized multiply-add passes, no per-row Python),
-    matching the per-position fold ``acc = acc*FNV + byte`` from zero."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(parent_row, rel_pos, hash) for every length-``span_bytes``
+    window fully inside one row of ``binary`` — computed over the flat
+    values buffer (``span_bytes`` vectorized multiply-add passes, no
+    per-row Python), matching the per-position fold
+    ``acc = acc*FNV + byte`` from zero. ``rel_pos`` is the window's
+    0-based byte offset within its row."""
     offsets, data = flat_buffer(binary)
     lens = np.diff(offsets)
     n = len(lens)
     if n == 0 or data.size < span_bytes:
         z = np.zeros(0, dtype=np.int64)
-        return z, z.astype(np.uint64)
+        return z, z.copy(), z.astype(np.uint64)
     arr = data.astype(np.uint64)
     k = len(arr) - span_bytes + 1
     acc = np.zeros(k, dtype=np.uint64)
@@ -75,7 +77,8 @@ def _window_hashes(
     pos = np.arange(k, dtype=np.int64)
     parent = np.searchsorted(offsets, pos, side="right") - 1
     valid = pos + span_bytes <= offsets[parent + 1]
-    return parent[valid], acc[valid]
+    parent = parent[valid]
+    return parent, pos[valid] - offsets[parent], acc[valid]
 
 
 def duplicate_span_stats(
@@ -104,7 +107,7 @@ def duplicate_span_stats(
         if isinstance(binary, pa.ChunkedArray):
             binary = binary.combine_chunks()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        parent, h = _window_hashes(binary, span_bytes)
+        parent, _, h = _window_hashes(binary, span_bytes)
         per = (
             pd.DataFrame({id_col: ids[parent], "h": h.view(np.int64)})
             .groupby([id_col, "h"], sort=False)
@@ -233,7 +236,7 @@ def source_overlap_matrix(
         if isinstance(binary, pa.ChunkedArray):
             binary = binary.combine_chunks()
         srcs = batch[source_col].to_numpy(zero_copy_only=False)
-        parent, h = _window_hashes(binary, span_bytes)
+        parent, _, h = _window_hashes(binary, span_bytes)
         per = pd.DataFrame(
             {source_col: srcs[parent], "h": h.view(np.int64)}
         ).drop_duplicates()
@@ -293,3 +296,182 @@ def source_overlap_matrix(
     )
     out["n_shared"] = out["n_shared"].astype(np.int64)
     return out
+
+
+def remove_duplicate_spans(
+    ds: ray.data.Dataset,
+    *,
+    span_bytes: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Lee et al. 2021 REMOVAL semantics: rewrite every document with
+    all bytes covered by a corpus-duplicated window stripped out.
+    A byte is removed iff some length-``span_bytes`` window containing
+    its position occurs >= 2 times corpus-wide (their exact-substring
+    criterion at fixed match length). Returns a streaming Dataset of
+    ``(id_col, clean_text, n_removed_bytes)``.
+
+    Shape — the stats scan plus the write-back path:
+
+    1. position scan: ``(doc, rel_pos, h)`` per window (positions are
+       needed for removal, so this pass ships O(corpus bytes) 24 B rows
+       — the inherent exact-substring cost; the suffix array pays the
+       same);
+    2. the coarse-bucket fingerprint shuffle marks runs with total
+       count >= 2 and emits only the duplicated (doc, pos) rows;
+    3. per-doc start-lists via a second coarse-bucket groupby (small
+       rows; packed into a BINARY blob — Arrow's hash join rejects
+       list-typed payload columns), then ONE ``Dataset.join`` (hash,
+       ``left_outer``) back to the documents — text moves exactly once.
+       ``num_partitions`` defaults to half the cluster CPUs: the join
+       spawns that many aggregating actors, and oversubscribing a small
+       session (e.g. 32 partitions on 4 CPUs) deadlocks scheduling;
+    4. vectorized rewrite: explode the start-lists into a +1/-1 delta
+       array over the batch's FLAT byte buffer, cumsum -> coverage
+       mask, gather kept bytes, rebuild the Arrow column zero-copy
+       (the chunking.py construction). The final UTF-8 cast VALIDATES:
+       on non-ASCII text a window boundary can split a codepoint and
+       raises instead of emitting invalid strings (byte-level removal
+       is the published semantics; the driver fixtures are ASCII).
+    """
+
+    def scan_pos(batch: pa.Table) -> pa.Table:
+        binary = pc.cast(pc.fill_null(batch[text_col], ""), pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parent, rel, h = _window_hashes(binary, span_bytes)
+        return pa.table(
+            {
+                id_col: pa.array(ids[parent]),
+                "pos": pa.array(rel),
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = h * np.uint64(0x9E3779B97F4A7C15)
+        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        starts, lens = _group_runs(h)
+        dup_row = np.repeat(lens >= 2, lens)
+        keep = order[dup_row]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[keep],
+                "pos": g["pos"].to_numpy()[keep],
+            }
+        )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        from .sampling import _hash_ids, _ids_array
+
+        ids = _ids_array(batch[id_col])
+        bucket2 = (_hash_ids(ids, 0) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bucket2", pa.array(bucket2))
+
+    def collect_starts(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(id_col, sort=False)["pos"]
+            .agg(lambda v: v.to_numpy(np.int64).tobytes())
+            .reset_index()
+        )
+        return s.rename(columns={"pos": "dup_starts"})
+
+    spans = (
+        ds.map_batches(scan_pos, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_positions, batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket2")
+        .map_groups(collect_starts, batch_format="pandas")
+    )
+
+    docs = ds.select_columns([id_col, text_col])
+    # the spans side is small (one row per doc WITH duplicated spans);
+    # materialize to (a) feed the join from the object store and (b)
+    # detect the no-duplicates corpus, whose empty blocks carry no
+    # schema and would break the join's key-field lookup
+    spans = spans.materialize()
+    if spans.count() == 0:
+
+        def no_spans(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "dup_starts", pa.nulls(len(batch), pa.large_binary())
+            )
+
+        joined = docs.map_batches(no_spans, batch_format="pyarrow")
+    else:
+        if num_partitions is None:
+            num_partitions = max(
+                2, int(ray.cluster_resources().get("CPU", 8)) // 2
+            )
+        joined = docs.join(
+            spans,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(id_col,),
+        )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        binary = pc.cast(pc.fill_null(batch[text_col], ""), pa.large_binary())
+        if isinstance(binary, pa.ChunkedArray):
+            binary = binary.combine_chunks()
+        n = len(binary)
+        offsets, data = flat_buffer(binary)
+        lens = np.diff(offsets)
+        starts_col = batch["dup_starts"]
+        if isinstance(starts_col, pa.ChunkedArray):
+            starts_col = starts_col.combine_chunks()
+        # decode the packed int64 blobs; nulls (docs with no duplicated
+        # span) contribute nothing
+        blobs = starts_col.to_pylist()
+        flat_parts = []
+        parent_parts = []
+        for r, blob in enumerate(blobs):
+            if blob:
+                a = np.frombuffer(blob, dtype=np.int64)
+                flat_parts.append(a)
+                parent_parts.append(np.full(len(a), r, dtype=np.int64))
+        delta = np.zeros(len(data) + 1, dtype=np.int64)
+        if flat_parts:
+            flat = np.concatenate(flat_parts)
+            parent = np.concatenate(parent_parts)
+            g = offsets[parent] + flat
+            np.add.at(delta, g, 1)
+            np.add.at(delta, g + span_bytes, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        kept_per_row = kept_cum[offsets[1:]] - kept_cum[offsets[:-1]]
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_per_row, out=new_off[1:])
+        kept_data = data[keep] if len(data) else np.zeros(0, np.uint8)
+        out_bin = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(np.ascontiguousarray(new_off)),
+                pa.py_buffer(np.ascontiguousarray(kept_data)),
+            ],
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "clean_text": out_bin.cast(pa.large_string()),
+                "n_removed_bytes": pa.array(lens - kept_per_row),
+            }
+        )
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")

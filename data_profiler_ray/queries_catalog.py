@@ -1406,6 +1406,58 @@ ORDER BY d.doc_id
 """
 
 
+def q_remove_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Lee et al. 2021 removal semantics: documents rewritten with every
+    byte covered by a corpus-duplicated 20-byte window stripped.
+    Oracled: the SQL expands duplicated window starts into covered
+    character positions (DISTINCT), anti-joins the character explosion,
+    and reassembles with string_agg — identical HUGEINT fold, ASCII
+    exactness domain."""
+    from .pipelines.dupspans import remove_duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = remove_duplicate_spans(ds, span_bytes=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_REMOVE_DUP_SPANS = """
+WITH pos AS (SELECT doc_id, text, length(text) AS L FROM documents),
+h AS (
+  SELECT doc_id, i,
+    list_reduce(
+      list_prepend(0::HUGEINT,
+        list_transform(range(i, i + 20), j -> ord(substr(text, j, 1))::HUGEINT)),
+      (acc, x) -> (acc * 1099511628211 + x) % 18446744073709551616
+    ) AS hh
+  FROM (SELECT doc_id, text, unnest(generate_series(1, L - 19)) AS i
+        FROM pos WHERE L >= 20)
+),
+tot AS (SELECT hh, count(*) AS cnt FROM h GROUP BY 1),
+dup AS (SELECT doc_id, i FROM h JOIN tot USING (hh) WHERE cnt >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 19)) AS c FROM dup
+),
+rem AS (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY 1),
+chars AS (
+  SELECT doc_id, text, unnest(generate_series(1, L)) AS c
+  FROM pos WHERE L > 0
+),
+kept AS (
+  SELECT ch.doc_id, ch.c, substr(ch.text, ch.c, 1) AS chr
+  FROM chars ch LEFT JOIN cov ON ch.doc_id = cov.doc_id AND ch.c = cov.c
+  WHERE cov.c IS NULL
+),
+agg AS (SELECT doc_id, string_agg(chr, '' ORDER BY c) AS ct FROM kept GROUP BY 1)
+SELECT p.doc_id,
+  coalesce(agg.ct, '') AS clean_text,
+  CAST(coalesce(rem.nrem, 0) AS BIGINT) AS n_removed_bytes
+FROM pos p
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN rem USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
 def q_source_overlap(sf_dir: str) -> pd.DataFrame:
     """Cross-source contamination matrix: distinct 20-byte spans shared
     by each source pair (the corpus-curation view of the dup_span_stats
@@ -2186,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": q_jaccard_join,
         "fingerprints": q_fingerprints,
         "dup_span_stats": q_dup_span_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "source_overlap": q_source_overlap,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
@@ -2240,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _SQL_FINGERPRINTS,
         # Lee-et-al substring-dup signal: same HUGEINT window fold
         "dup_span_stats": _SQL_DUP_SPAN_STATS,
+        "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "source_overlap": _SQL_SOURCE_OVERLAP,
         # two unrolled Lloyd iterations; argmin via (dist, cl) row_number
         "kmeans_clusters": _SQL_KMEANS_CLUSTERS,

@@ -92,7 +92,7 @@ def test_planted_structure(ray_session, planted):
 
 def test_window_hashes_boundary_masking():
     texts = pa.array(["a" * 25, "b" * 10, "c" * 30]).cast(pa.large_binary())
-    parent, h = _window_hashes(texts, SPAN)
+    parent, rel, h = _window_hashes(texts, SPAN)
     # row lengths 25,10,30 -> 6,0,11 valid windows
     assert np.bincount(parent, minlength=3).tolist() == [6, 0, 11]
     # all-equal-byte rows: every window within a row hashes identically,
@@ -147,3 +147,67 @@ def test_source_overlap_empty(ray_session):
     out = source_overlap_matrix(ds)
     assert out.empty
     assert list(out.columns) == ["source_a", "source_b", "n_shared"]
+
+
+def naive_remove(texts: dict[int, str], span: int = SPAN) -> pd.DataFrame:
+    occ: dict[bytes, int] = {}
+    for t in texts.values():
+        b = t.encode()
+        for i in range(max(len(b) - span + 1, 0)):
+            occ[b[i : i + span]] = occ.get(b[i : i + span], 0) + 1
+    rows = []
+    for d, t in texts.items():
+        b = t.encode()
+        cov = np.zeros(len(b), dtype=bool)
+        for i in range(max(len(b) - span + 1, 0)):
+            if occ[b[i : i + span]] >= 2:
+                cov[i : i + span] = True
+        clean = bytes(np.frombuffer(b, np.uint8)[~cov]).decode()
+        rows.append(
+            {
+                "doc_id": d,
+                "clean_text": clean,
+                "n_removed_bytes": int(cov.sum()),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_remove_duplicate_spans_matches_naive(ray_session, planted):
+    from data_profiler_ray.pipelines.dupspans import remove_duplicate_spans
+
+    expect = naive_remove(planted)
+    for nparts in (1, 5):
+        ds = ray.data.from_items(
+            [{"doc_id": d, "text": t} for d, t in planted.items()]
+        ).repartition(nparts)
+        got = (
+            remove_duplicate_spans(ds, span_bytes=SPAN)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"n_removed_bytes": "int64"}), expect
+        )
+
+
+def test_remove_duplicate_spans_unique_corpus_unchanged(ray_session):
+    from data_profiler_ray.pipelines.dupspans import remove_duplicate_spans
+
+    rng = np.random.default_rng(8)
+    texts = {
+        d: "".join(rng.choice(list("abcdefghijklmnop qrs")) for _ in range(60))
+        for d in range(6)
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in texts.items()]
+    )
+    got = (
+        remove_duplicate_spans(ds, span_bytes=SPAN)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_removed_bytes"].sum() == 0
+    assert got["clean_text"].tolist() == [texts[d] for d in sorted(texts)]
