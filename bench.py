@@ -201,6 +201,7 @@ def bench_queries() -> dict:
         "shuffle_rank",
         "mix_corpora",
         "source_overlap",
+        "remove_dup_spans",
     ]
     # peak-RSS is sampled for the two historically most expensive
     # queries (r3 verdict item #7 — streaming-memory evidence)
