@@ -260,3 +260,59 @@ def test_decode_binary_content_matches_python(payloads):
         assert out["content"][i].as_py() == expect, p
         off = out["utf8_error_offset"][i].as_py()
         assert (off == -1) == expect_valid, p
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abAB <>", min_size=0, max_size=60), max_size=10),
+    st.integers(2, 8),
+)
+def test_window_hashes_match_per_row_fold(rows, span):
+    """Flat-buffer window fingerprints == the per-row scalar fold, with
+    exact boundary masking for any row-length mix."""
+    from data_profiler_ray.pipelines.dupspans import _window_hashes
+
+    arr = pa.array(rows, pa.string()).cast(pa.large_binary())
+    parent, rel, h = _window_hashes(arr, span)
+    got: dict = {}
+    for p, r, v in zip(parent, rel, h):
+        got[(int(p), int(r))] = int(v)
+    expect: dict = {}
+    for i, t in enumerate(rows):
+        b = t.encode()
+        for j in range(max(len(b) - span + 1, 0)):
+            acc = 0
+            for byte in b[j : j + span]:
+                acc = (acc * 1099511628211 + byte) % (1 << 64)
+            expect[(i, j)] = acc
+    assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=12),
+    st.integers(2, 6),
+)
+def test_runs_pair_indices_equals_per_run_salted(run_lens_raw, cap):
+    """The vectorized multi-run clique expansion emits exactly the
+    per-run _salted_pair_indices pairs (as SETS per run), for any mix
+    of sub-cap and over-cap runs."""
+    from data_profiler_ray.pipelines.neardup import (
+        _runs_pair_indices,
+        _salted_pair_indices,
+    )
+
+    run_lens = np.array([m for m in run_lens_raw if m > 0], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(run_lens)[:-1]]) if len(run_lens) else np.zeros(0, np.int64)
+    iu, ju = _runs_pair_indices(starts, run_lens, cap, "t")
+    got = set(zip(iu.tolist(), ju.tolist()))
+    expect = set()
+    for s, m in zip(starts, run_lens):
+        ri, rj = _salted_pair_indices(int(m), cap, "t")
+        expect |= {(int(a) + int(s), int(b) + int(s)) for a, b in zip(ri, rj)}
+    assert got == expect
+    # every pair stays inside its run
+    for a, b in got:
+        ra = np.searchsorted(starts, a, side="right") - 1
+        rb = np.searchsorted(starts, b, side="right") - 1
+        assert ra == rb and a < b
