@@ -1642,7 +1642,13 @@ ORDER BY doc_id, chunk_idx
 def q_neardup_dedup(sf_dir: str) -> pd.DataFrame:
     """End-to-end near-dup corpus dedup over documents: MinHash-LSH +
     exact-Jaccard pairs -> union-find clusters -> one keeper per cluster.
-    Rows-only: LSH candidate generation is not SQL-expressible."""
+    Oracled via the all-pairs exact-Jaccard connected-components CTE at
+    the same 0.7 threshold: the LSH phase only PREFILTERS candidates
+    before the exact verification, so the outputs agree whenever LSH
+    recall is complete — which the ngram_jaccard_dedup pair-set match
+    against ITS all-pairs oracle certifies at the driver fixture scale
+    (a recall loss would surface as a hash mismatch HERE, making this
+    cell a live recall witness rather than an assumption)."""
     from .pipelines.neardup import neardup_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1768,7 +1774,8 @@ def q_neardup_dedup_jaccard(sf_dir: str) -> pd.DataFrame:
 # note there), then undirected transitive closure via a recursive CTE;
 # a component's representative is its smallest member id (min over all
 # ids that can reach the node), matching union-find's min-root rule
-_SQL_NEARDUP_DEDUP_JACCARD = """
+def _sql_neardup_dedup_cc(threshold: float) -> str:
+    return f"""
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM (
     SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
@@ -1784,7 +1791,7 @@ ix AS (
 pairs AS (
   SELECT id_a, id_b FROM ix
   JOIN card ca ON ca.doc_id = id_a JOIN card cb ON cb.doc_id = id_b
-  WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8
+  WHERE i::DOUBLE / (ca.c + cb.c - i) >= {threshold!r}
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
@@ -1802,6 +1809,9 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+_SQL_NEARDUP_DEDUP_JACCARD = _sql_neardup_dedup_cc(0.8)
 
 
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
@@ -2324,6 +2334,9 @@ def oracle_sql() -> dict[str, str]:
         # exact pairs + recursive-CTE connected components: hard-signal
         # cover for the union-find/keeper logic the LSH path shares
         "neardup_dedup_jaccard": _SQL_NEARDUP_DEDUP_JACCARD,
+        # LSH prefilter + exact verify == all-pairs exact at complete
+        # recall; the cell doubles as a live LSH-recall witness
+        "neardup_dedup": _sql_neardup_dedup_cc(0.7),
         # generator-ground-truth VALUES table (decoder-independent)
         "media_metadata": _sql_media_metadata(),
         "tfidf": _SQL_TFIDF,
