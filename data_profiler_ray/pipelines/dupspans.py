@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..util import flat_buffer, from_pandas_clean
-from .neardup import _group_runs
+from .neardup import _coarse_bucket, _group_runs
 
 _FNV_BASE = np.uint64(1099511628211)
 
@@ -136,10 +136,9 @@ def duplicate_span_stats(
         return from_pandas_clean(per)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mix = h * np.uint64(0x9E3779B97F4A7C15)
-        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        bucket = _coarse_bucket(
+            batch["h"].to_numpy(zero_copy_only=False), n_buckets
+        )
         return batch.append_column("bucket", pa.array(bucket))
 
     def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
@@ -243,10 +242,9 @@ def source_overlap_matrix(
         return from_pandas_clean(per)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mix = h * np.uint64(0x9E3779B97F4A7C15)
-        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        bucket = _coarse_bucket(
+            batch["h"].to_numpy(zero_copy_only=False), n_buckets
+        )
         return batch.append_column("bucket", pa.array(bucket))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -353,10 +351,9 @@ def remove_duplicate_spans(
         )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mix = h * np.uint64(0x9E3779B97F4A7C15)
-        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        bucket = _coarse_bucket(
+            batch["h"].to_numpy(zero_copy_only=False), n_buckets
+        )
         return batch.append_column("bucket", pa.array(bucket))
 
     def dup_positions(g: pd.DataFrame) -> pd.DataFrame:

@@ -106,6 +106,21 @@ def _salted_pair_indices(n: int, cap: int, kind: str) -> tuple[np.ndarray, np.nd
     return np.concatenate(out_i), np.concatenate(out_j)
 
 
+def _coarse_bucket(
+    primary: np.ndarray, n_buckets: int, secondary: np.ndarray | None = None
+) -> np.ndarray:
+    """Routing key for the coarse-bucket shuffle pattern shared by the
+    near-dup and dup-span operators: golden-ratio multiplicative mix of
+    the primary key (+ optional secondary), mod ``n_buckets``. Routing
+    collisions are harmless by design — every group callback re-sorts
+    and re-compares the EXACT keys."""
+    with np.errstate(over="ignore"):
+        mix = primary.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        if secondary is not None:
+            mix = mix + secondary.astype(np.uint64)
+    return (mix % np.uint64(n_buckets)).astype(np.int64)
+
+
 def _group_runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, lengths) of equal-key runs in lexicographically PRE-SORTED
     parallel key arrays — exact comparisons, no hashing."""
@@ -479,11 +494,11 @@ def minhash_lsh_pairs(
     # vectorized (:func:`_runs_pair_indices`). Routing-hash collisions
     # are harmless: pairs still require exact key-run equality.
     def add_bucket(batch: pa.Table) -> pa.Table:
-        bh = batch["bhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mix = bh * np.uint64(0x9E3779B97F4A7C15) + band
-        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        bucket = _coarse_bucket(
+            batch["bhash"].to_numpy(zero_copy_only=False),
+            n_buckets,
+            batch["band"].to_numpy(zero_copy_only=False),
+        )
         return batch.append_column("bucket", pa.array(bucket))
 
     def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
@@ -638,11 +653,11 @@ def simhash_pairs(
     exploded = ds.map_batches(sign_explode, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        bv = batch["bval"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        band = batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            mix = bv * np.uint64(0x9E3779B97F4A7C15) + band
-        bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+        bucket = _coarse_bucket(
+            batch["bval"].to_numpy(zero_copy_only=False),
+            n_buckets,
+            batch["band"].to_numpy(zero_copy_only=False),
+        )
         return batch.append_column("bucket", pa.array(bucket))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -963,6 +978,15 @@ def jaccard_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # same int-id contract as neardup_dedup: the prefix rows carry ids
+    # as int64 arrays, so fail loudly here instead of with an opaque
+    # numpy cast error inside a Ray worker
+    id_field = ds.schema().base_schema.field(id_col)
+    if not pa.types.is_integer(id_field.type):
+        raise ValueError(
+            f"jaccard_join requires an integer id column; "
+            f"{id_col!r} is {id_field.type}"
+        )
 
     def emit_sh(batch: pa.Table) -> pa.Table:
         sets = _batch_shingle_sets(batch[text_col], shingle_n)

@@ -401,14 +401,18 @@ def mix_corpora(
     Brown et al. 2020 Table 2.2).
 
     Largest achievable mixture: ``T = min_s N_s / p_s`` total rows, so
-    the binding (scarcest-relative-to-target) source keeps everything
+    the binding (scarcest-relative-to-target) source keeps ~everything
     and every other source keeps ``rate_s = T * p_s / N_s`` of its rows,
     chosen by the module's Knuth id-hash (``h(id) < trunc(rate_s *
     2^32)``) — deterministic, partition/retry-invariant, and
     SQL-reproducible (the oracle evaluates the identical float
     expression tree on the identical integer counts, so the thresholds
-    are bit-equal doubles on both sides). Rows whose source is not in
-    ``proportions`` are dropped.
+    are bit-equal doubles on both sides). Precision caveat on the
+    binding source: ``(N/p)*p/N`` can round-trip to 0.999... instead of
+    1.0 in floats, giving threshold ``2^32 - 1`` — rows whose hash is
+    exactly ``2^32 - 1`` (~2^-32 of the source) are then dropped;
+    negligible skew, and both engines agree bit-for-bit. Rows whose
+    source is not in ``proportions`` are dropped.
 
     Shape: one tiny per-source count aggregate (per-batch combiner ->
     driver merge; the number of DISTINCT sources must be driver-small —

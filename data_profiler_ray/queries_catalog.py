@@ -614,9 +614,11 @@ def _sql_media_metadata() -> str:
     row's type/dims/duration comes from the generator's parameters (and
     ``decode_ok`` is 1 by construction — every synthesized payload is a
     real decodable of its kind), NOT from any decoder under test."""
-    from .stages.multimodal import synth_media_table
+    from .stages.multimodal import synth_media_truth
 
-    t = synth_media_table(300, seed=7, with_truth=True)
+    # truth-only synthesis: same RNG sequence, no payload encoding —
+    # oracle_sql() is called on every driver pass and must stay cheap
+    t = synth_media_truth(300, seed=7)
     rows = ",\n  ".join(
         f"({i}, '{mt}', {w}, {h}, {d}, 1)"
         for i, mt, w, h, d in zip(
@@ -1161,12 +1163,19 @@ def q_jaccard_join(sf_dir: str) -> pd.DataFrame:
 # self-join). Shingles here are SUBSTRINGS; the Ray side hashes them to
 # 64-bit values first — jaccard over the hash sets equals jaccard over
 # the string sets unless two distinct shingles of the same doc-pair
-# collide in 64 bits (~n^2/2^64; the fixtures have ~2k distinct shingles)
+# collide in 64 bits (~n^2/2^64; the fixtures have ~2k distinct
+# shingles). Sub-window docs mirror the Ray kernel's NUL padding
+# (_shingle_hashes pads to one 5-byte window), so empty/short documents
+# participate in pairing on both sides instead of silently diverging
 _SQL_JACCARD_JOIN = """
 WITH sh AS (
-  SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM (
-    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
-    FROM documents WHERE length(text) >= 5
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+    FROM (SELECT doc_id,
+                 CASE WHEN length(coalesce(text, '')) < 5
+                      THEN rpad(coalesce(text, ''), 5, chr(0))
+                      ELSE text END AS t
+          FROM documents)
   )
 ),
 card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
@@ -1777,9 +1786,13 @@ def q_neardup_dedup_jaccard(sf_dir: str) -> pd.DataFrame:
 def _sql_neardup_dedup_cc(threshold: float) -> str:
     return f"""
 WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM (
-    SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
-    FROM documents WHERE length(text) >= 5
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+    FROM (SELECT doc_id,
+                 CASE WHEN length(coalesce(text, '')) < 5
+                      THEN rpad(coalesce(text, ''), 5, chr(0))
+                      ELSE text END AS t
+          FROM documents)
   )
 ),
 card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),

@@ -345,7 +345,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         us_per_frame,
         max(len(j) for j in jpegs) * fps,
         0,
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE (benign)
+        0,  # dwFlags: no AVIF_HASINDEX — no idx1 chunk is written
         len(frames),
         0,
         1,
@@ -976,6 +976,22 @@ def synth_media_table(
     synthesis parameters, independent of any decoder, so an oracle can
     check the parsed header metadata against them as a pure projection.
     """
+    return _synth_media(n, seed, with_truth=with_truth, encode=True)
+
+
+def synth_media_truth(n: int, seed: int = 7) -> pa.Table:
+    """ONLY the ground-truth columns of :func:`synth_media_table` —
+    identical RNG draw sequence, but the (pure-Python, ~seconds for 300
+    payloads) encoders are skipped, for callers that need the truth
+    table without the bytes (e.g. building the media oracle's VALUES
+    list on every ``oracle_sql()`` call)."""
+    t = _synth_media(n, seed, with_truth=True, encode=False)
+    return t.drop_columns(["payload"])
+
+
+def _synth_media(
+    n: int, seed: int, *, with_truth: bool, encode: bool
+) -> pa.Table:
     from .jpeg import encode_jpeg
     rng = np.random.default_rng(seed)
     payloads, ids = [], []
@@ -987,7 +1003,7 @@ def synth_media_table(
         if kind == 0:  # real decodable PNG
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = encode_png(px)
+            payload = encode_png(px) if encode else b""
             mt = "image/png"
         elif kind == 1:  # WAV with real fmt/data chunks (duration parses)
             sr, ch, bits = 8000, 1, 8
@@ -998,20 +1014,20 @@ def synth_media_table(
                 + b"fmt " + struct.pack("<I", len(fmt)) + fmt
                 + b"data" + struct.pack("<I", len(tail)) + tail
             )
-            payload = b"RIFF" + struct.pack("<I", len(body)) + body
+            payload = b"RIFF" + struct.pack("<I", len(body)) + body if encode else b""
             mt = "audio/wav"
             dur = len(tail) * 1000 // byte_rate
         elif kind == 2:  # real decodable baseline JPEG
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = encode_jpeg(px, subsample=bool(i % 8 == 2))
+            payload = encode_jpeg(px, subsample=bool(i % 8 == 2)) if encode else b""
             mt = "image/jpeg"
         elif kind == 3:  # real decodable GIF (random palette, some interlaced)
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             ncol = int(rng.integers(2, 256))
             palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
             idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
-            payload = encode_gif(idx, palette, interlace=bool(i % 8 == 3))
+            payload = encode_gif(idx, palette, interlace=bool(i % 8 == 3)) if encode else b""
             mt = "image/gif"
         else:  # real decodable MJPEG-in-AVI (2-4 frames)
             w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
@@ -1021,7 +1037,7 @@ def synth_media_table(
                 for _ in range(nf)
             ]
             fps = 10
-            payload = encode_avi(frames, fps=fps)
+            payload = encode_avi(frames, fps=fps) if encode else b""
             mt = "video/avi"
             dur = nf * (1_000_000 // fps) // 1000
         payloads.append(payload)

@@ -872,7 +872,6 @@ def test_avi_corrupt_inputs_raise_valueerror():
         finally:
             buf[i] = old
     # empty movi list is a decode failure, not a silent zero vector
-    import struct as _struct
     from data_profiler_ray.stages.multimodal import parse_avi_meta
 
     meta = parse_avi_meta(payload)
